@@ -1,0 +1,189 @@
+"""Hybrid kino-dynamic (HKD) quadruped model — pure JAX.
+
+Re-implements, from first principles, the model that the reference ships as
+CasADi-generated C (reference: HKDMPC/HKD-TrajOpt/CasadiGen/source/
+hkinodyn_casadi.cpp, hkinodyn_par_casadi.cpp, comp_foot_pos_casadi.cpp,
+comp_foot_jacob_{1..4}_casadi.cpp) and wraps in HKDMPC/HKD-TrajOpt/HKDModel.h
+and HKDReset.h. Verified to machine precision against those kernels
+(tests/test_dynamics_golden.py).
+
+State x (24): [eul(3) = (yaw, pitch, roll) ZYX, pos(3) world, omega(3) body,
+               v(3) world, qdummy(12)]
+qdummy per leg: joint angles (abad, hip, knee) while in swing; world-frame
+foot xy position (z meaningless) while in stance.
+Control u (24): [GRF(12) world frame per leg, commanded joint velocity(12)].
+contact: float (4,) per-leg stance indicator (1 = stance, 0 = swing).
+
+Everything here is shape-static, control-flow free (masking only), and
+therefore `jit`/`vmap`/`jacfwd` friendly — contact is *data*, not structure.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hkdmpc_tpu.models import mini_cheetah as mc
+
+
+def euler_zyx_to_rotmat(eul):
+    """R = Rz(yaw) @ Ry(pitch) @ Rx(roll). eul = (yaw, pitch, roll)."""
+    yaw, pitch, roll = eul[0], eul[1], eul[2]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    return jnp.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp,     cp * sr,                cp * cr],
+    ])
+
+
+def euler_zyx_rates_matrix(eul):
+    """E(eul) with eul_dot = E @ omega_body, for eul = (yaw, pitch, roll)."""
+    pitch, roll = eul[1], eul[2]
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    return jnp.array([
+        [0.0, sr / cp,      cr / cp],
+        [0.0, cr,           -sr],
+        [1.0, sr * sp / cp, cr * sp / cp],
+    ])
+
+
+def leg_forward_kinematics(qleg, side_sign):
+    """Foot position in the hip frame for one leg. qleg = (abad, hip, knee)."""
+    l1, l2, l3 = mc.ABAD_LINK, mc.THIGH_LINK, mc.SHANK_LINK
+    q1, q2, q3 = qleg[0], qleg[1], qleg[2]
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    s2, c2 = jnp.sin(q2), jnp.cos(q2)
+    s23, c23 = jnp.sin(q2 + q3), jnp.cos(q2 + q3)
+    return jnp.array([
+        l3 * s23 + l2 * s2,
+        l1 * side_sign * c1 + l3 * s1 * c23 + l2 * c2 * s1,
+        l1 * side_sign * s1 - l3 * c1 * c23 - l2 * c1 * c2,
+    ])
+
+
+def foot_position(pos, eul, qleg, leg):
+    """World-frame foot position of `leg` (static int 0..3).
+
+    Parity with reference `compute_foot_position` (leg_id = leg + 1).
+    """
+    R = euler_zyx_to_rotmat(eul)
+    hip = jnp.asarray(mc.HIP_OFFSETS[leg], dtype=pos.dtype)
+    p_hip = leg_forward_kinematics(qleg, mc.SIDE_SIGNS[leg])
+    return pos + R @ (hip + p_hip)
+
+
+def foot_positions(pos, eul, qJ):
+    """(4,3) world-frame foot positions; qJ is (12,) joint angles."""
+    q = qJ.reshape(4, 3)
+    return jnp.stack([foot_position(pos, eul, q[l], l) for l in range(4)])
+
+
+def foot_height_jacobian(x, leg):
+    """d foot_z / dx (24,) for `leg`, with qdummy interpreted as joint angles.
+
+    Matches the reference's TouchDownConstraint::compute_partial row layout
+    (reference: HKDMPC/HKD-TrajOpt/HKDConstraints.cpp:124-171): obtained here
+    simply as jacfwd of the scalar foot height through the state.
+    """
+    def fz(xx):
+        return foot_position(xx[3:6], xx[0:3], xx[12 + 3 * leg: 15 + 3 * leg], leg)[2]
+    return jax.grad(fz)(x)
+
+
+def compute_hkd_state(eul, pos, qJ, contact):
+    """Build qdummy from joint angles: FK foot position for stance legs,
+    raw joint angles for swing legs.
+
+    Parity with reference compute_hkd_state (HKDMPC/HKD-TrajOpt/HKDModel.h:65-96).
+    contact: float (4,).
+    """
+    pf = foot_positions(pos, eul, qJ)              # (4,3)
+    qj = qJ.reshape(4, 3)
+    c = contact.reshape(4, 1)
+    return (c * pf + (1.0 - c) * qj).reshape(12)
+
+
+def dynamics_continuous(x, u, contact):
+    """Continuous-time HKD dynamics xdot = f(x, u, contact)."""
+    dtype = x.dtype
+    eul, pos = x[0:3], x[3:6]
+    omega, v = x[6:9], x[9:12]
+    qdummy = x[12:24]
+    grf = u[0:12].reshape(4, 3)
+    qJd = u[12:24].reshape(4, 3)
+    c = contact.reshape(4, 1)
+
+    R = euler_zyx_to_rotmat(eul)
+    eul_dot = euler_zyx_rates_matrix(eul) @ omega
+
+    # torque about CoM in body frame; stance feet assumed on the ground (z = 0),
+    # foot xy from qdummy (reference: hkinodyn_casadi.cpp body)
+    foot_xy = qdummy.reshape(4, 3)
+    r_world = jnp.concatenate(
+        [foot_xy[:, 0:2] - pos[0:2], jnp.broadcast_to(-pos[2], (4, 1))], axis=1)
+    r_body = r_world @ R            # == (R^T r^T)^T
+    f_body = grf @ R
+    tau_body = jnp.sum(c * jnp.cross(r_body, f_body), axis=0)
+
+    I_diag = jnp.asarray(mc.INERTIA_DIAG, dtype=dtype)
+    I_inv = jnp.asarray(mc.INERTIA_INV_DIAG, dtype=dtype)
+    omega_dot = I_inv * (tau_body - jnp.cross(omega, I_diag * omega))
+
+    f_total = jnp.sum(c * grf, axis=0)
+    g_vec = jnp.array([0.0, 0.0, -mc.GRAVITY], dtype=dtype)
+    v_dot = f_total / mc.MASS + g_vec
+
+    qdummy_dot = ((1.0 - c) * qJd).reshape(12)
+
+    return jnp.concatenate([eul_dot, v, omega_dot, v_dot, qdummy_dot])
+
+
+def dynamics(x, u, contact, dt):
+    """Forward-Euler discrete step — parity with reference `hkinodyn`."""
+    return x + dt * dynamics_continuous(x, u, contact)
+
+
+def dynamics_jacobians(x, u, contact, dt):
+    """(A, B) = (d xnext/dx, d xnext/du) — parity with `hkinodyn_par`."""
+    A = jax.jacfwd(lambda xx: dynamics(xx, u, contact, dt))(x)
+    B = jax.jacfwd(lambda uu: dynamics(x, uu, contact, dt))(u)
+    return A, B
+
+
+def reset_map(x, c_cur, c_next):
+    """Hybrid reset map applied at a phase boundary.
+
+    stance -> swing: qdummy_leg := default leg pose.
+    swing -> stance: qdummy_leg := (pf_x, pf_y, 0) from FK at the pre-impact pose.
+    otherwise identity. Parity with HKDReset::resetmap (HKDReset.h:41-75).
+    c_cur / c_next: float (4,).
+    """
+    dtype = x.dtype
+    eul, pos, qdummy = x[0:3], x[3:6], x[12:24]
+    qd = qdummy.reshape(4, 3)
+    qleg_default = jnp.asarray(mc.QLEG_DEFAULT, dtype=dtype)
+    cmap = jnp.array([1.0, 1.0, 0.0], dtype=dtype)
+
+    new_legs = []
+    for l in range(4):
+        to_swing = c_cur[l] * (1.0 - c_next[l])          # stance -> swing
+        to_stance = (1.0 - c_cur[l]) * c_next[l]         # swing -> stance
+        pf = foot_position(pos, eul, qd[l], l) * cmap
+        keep = 1.0 - to_swing - to_stance
+        new_legs.append(keep * qd[l] + to_swing * qleg_default + to_stance * pf)
+    return jnp.concatenate([x[0:12], jnp.concatenate(new_legs)])
+
+
+def reset_map_jacobian(x, c_cur, c_next):
+    """Px = d reset_map / dx (24,24) — parity with HKDReset::resetmap_partial."""
+    return jax.jacfwd(lambda xx: reset_map(xx, c_cur, c_next))(x)
+
+
+# ---- batched conveniences -------------------------------------------------
+
+dynamics_vmap_steps = jax.vmap(dynamics, in_axes=(0, 0, 0, None))
+dynamics_jacobians_vmap = jax.vmap(dynamics_jacobians, in_axes=(0, 0, 0, None))
