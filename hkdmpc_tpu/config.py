@@ -13,8 +13,10 @@ import dataclasses
 import re
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class HSDDPOption:
+    """Frozen (hashable) so it can be a static jit argument — one compiled
+    solver per option set."""
     # names/defaults parity: HSDDP_CompoundTypes.h:18-60
     alpha: float = 0.1                  # line search step shrink factor
     gamma: float = 0.1                  # Armijo scale on expected merit change
@@ -125,11 +127,9 @@ def load_ddp_setting(path: str) -> HSDDPOption:
     with open(path) as f:
         tree = parse_info(f.read())
     ddp = tree.get("ddp", {})
-    opt = HSDDPOption()
-    for field in dataclasses.fields(HSDDPOption):
-        if field.name in ddp:
-            setattr(opt, field.name, _coerce(ddp[field.name]))
-    return opt
+    kwargs = {f.name: _coerce(ddp[f.name])
+              for f in dataclasses.fields(HSDDPOption) if f.name in ddp}
+    return HSDDPOption(**kwargs)
 
 
 def load_constraint_params(path: str) -> ConstraintParams:

@@ -1,0 +1,133 @@
+"""Riccati backward sweep over the flattened transition graph.
+
+Parity: SinglePhase::backward_sweep (SinglePhase.cpp:299-367) for dynamics
+transitions, MultiPhaseDDP::impact_aware_step (MultiPhaseDDP.cpp:480-484) +
+terminal-cost seeding at reset transitions, with per-node defect corrections
+(multiple shooting), wrapped in the regularization retry schedule of
+MultiPhaseDDP::backward_sweep_regularized (MultiPhaseDDP.cpp:141-181).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hkdmpc_tpu.solver.structs import DYN, PAD, RESET, LQData, ProblemData
+
+REG_MIN_STEP = 1e-3   # reference: MultiPhaseDDP.cpp:157
+REG_MAX = 1e2         # reference: MultiPhaseDDP.cpp:160
+CHOL_SHIFT = 1e-9     # reference: SinglePhase.cpp:337
+
+
+def _chol_psd(M):
+    """Positive-definiteness check via Cholesky: True if M - shift*I admits a
+    finite Cholesky factor (parity with Eigen LLT isPositive usage)."""
+    L = jnp.linalg.cholesky(M - CHOL_SHIFT * jnp.eye(M.shape[0], dtype=M.dtype))
+    return jnp.all(jnp.isfinite(L))
+
+
+def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
+                   last_node):
+    """One full backward sweep at a given regularization.
+
+    Returns (dU, K, G0, H0, dV_1, dV_2, success).
+    carry = (G, H, dV_1, dV_2, ok) — value approx at the dest node of the
+    transition being processed.
+    """
+    T = prob.T
+    dtype = lq.A.dtype
+    eye = jnp.eye(24, dtype=dtype)
+
+    # seed at the last active node: G = Phix, H = Phixx (no Gprime beyond)
+    G_seed = lq.phix[last_node]
+    H_seed = lq.phixx[last_node]
+
+    def step(carry, t):
+        G, H, dv1, dv2, ok = carry
+        kind = prob.kind[t]
+
+        def dyn_branch(_):
+            # defect correction of the dest node (SinglePhase.cpp:319-321)
+            Gn = G + H @ defect[t + 1]
+            Qx = lq.lx[t] + lq.A[t].T @ Gn
+            Qu = lq.lu[t] + lq.B[t].T @ Gn
+            Qxx = lq.lxx[t] + lq.A[t].T @ H @ lq.A[t]
+            Quu = lq.luu[t] + lq.B[t].T @ H @ lq.B[t]
+            Qux = lq.lux[t] + lq.B[t].T @ H @ lq.A[t]
+            Qxx = Qxx + regularization * eye
+            Quu = Quu + regularization * eye
+            psd = _chol_psd(Quu)
+            Quu_safe = jnp.where(psd, Quu, eye)
+            Quu_inv = jnp.linalg.inv(Quu_safe)
+            Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
+            Qxx = 0.5 * (Qxx + Qxx.T)
+            dU_t = -Quu_inv @ Qu
+            K_t = -Quu_inv @ Qux
+            G_new = Qx - Qux.T @ Quu_inv @ Qu
+            H_new = Qxx - Qux.T @ Quu_inv @ Qux
+            dv_k = -Qu @ dU_t
+            return G_new, H_new, dv1 - dv_k, dv2 + dv_k, jnp.logical_and(ok, psd), dU_t, K_t
+
+        def reset_branch(_):
+            # phase-start defect correction (SinglePhase.cpp:363-365), then
+            # impact-aware sandwich, then terminal cost/AL seed of source node
+            Gn = G + H @ defect[t + 1]
+            Px = lq.A[t]
+            G_new = lq.phix[t] + Px.T @ Gn
+            H_new = lq.phixx[t] + Px.T @ H @ Px
+            return (G_new, H_new, dv1, dv2, ok,
+                    jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype))
+
+        def pad_branch(_):
+            return G, H, dv1, dv2, ok, jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype)
+
+        G2, H2, dv1_2, dv2_2, ok2, dU_t, K_t = lax.switch(
+            kind, [pad_branch, dyn_branch, reset_branch], None)
+        return (G2, H2, dv1_2, dv2_2, ok2), (dU_t, K_t)
+
+    init = (G_seed, H_seed, jnp.zeros((), dtype), jnp.zeros((), dtype),
+            jnp.array(True))
+    (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev) = lax.scan(
+        step, init, jnp.arange(T - 1, -1, -1))
+    # scan emitted in reverse transition order — flip back
+    dU = dU_rev[::-1]
+    K = K_rev[::-1]
+    return dU, K, G0, H0, dV_1, dV_2, success
+
+
+def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
+                               regularization, update_regularization,
+                               last_node):
+    """Retry the sweep with growing regularization until Quu is PSD everywhere
+    or the regularization exceeds REG_MAX (then the solve fails).
+
+    Returns (dU, K, dV_1, dV_2, reg_out, success, solve_failed).
+    reg_out is the post-success relaxation reg/20 (zeroed below 1e-6),
+    parity: MultiPhaseDDP.cpp:141-181.
+    """
+    dtype = lq.A.dtype
+
+    def cond(carry):
+        reg, out, ok, failed = carry
+        return jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(failed))
+
+    def body(carry):
+        reg, out, ok, failed = carry
+        dU, K, G0, H0, dv1, dv2, ok_new = backward_sweep(
+            prob, lq, defect, reg, last_node)
+        reg_next = jnp.maximum(reg * update_regularization, REG_MIN_STEP)
+        failed_new = jnp.logical_and(jnp.logical_not(ok_new), reg_next > REG_MAX)
+        reg_new = jnp.where(ok_new, reg, reg_next)
+        return reg_new, (dU, K, dv1, dv2), ok_new, failed_new
+
+    T = prob.T
+    dummy = (jnp.zeros((T, 24), dtype), jnp.zeros((T, 24, 24), dtype),
+             jnp.zeros((), dtype), jnp.zeros((), dtype))
+    carry = (jnp.asarray(regularization, dtype), dummy, jnp.array(False),
+             jnp.array(False))
+    reg, (dU, K, dv1, dv2), ok, failed = lax.while_loop(cond, body, carry)
+
+    reg_out = reg / 20.0
+    reg_out = jnp.where(reg_out < 1e-6, 0.0, reg_out)
+    return dU, K, dv1, dv2, reg_out, ok, failed

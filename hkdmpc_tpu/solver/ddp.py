@@ -1,0 +1,256 @@
+"""Multi-phase HS-DDP driver.
+
+Parity target: MultiPhaseDDP::solve (HSDDPSolver/source/MultiPhaseDDP.cpp:232-428)
+— AL outer loop, DDP inner loop with regularized backward sweep, multiple-
+shooting linear rollout, merit-function line search, AL/ReB parameter updates,
+and all of the reference's termination rules, replicated under `lax.while_loop`
+with static shapes so the entire solve jits once and vmaps over scenarios.
+
+TPU-first deviation: the reference's *sequential* line search (try eps, shrink,
+retry — each trial a full rollout) is evaluated as a *parallel* line search:
+all candidate step sizes roll out at once under vmap and the first
+Armijo-satisfying candidate is selected. Because each trial is independent of
+the others, this is bit-for-bit the same decision the sequential loop makes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hkdmpc_tpu.config import HSDDPOption
+from hkdmpc_tpu.solver import backward, lq as lq_mod, rollout as ro_mod
+from hkdmpc_tpu.solver.structs import (ConstraintState, ProblemData,
+                                       SolveResult, SolverState)
+
+TRACE_LEN = 64
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+def update_al_params(constr: ConstraintState, h_all, td_mask, term_mask,
+                     tconstr_thresh, update_penalty) -> ConstraintState:
+    """AL multiplier/penalty schedule (ConstraintsBase.h:349-365)."""
+    h = h_all * td_mask * term_mask[:, None]
+    habs = jnp.abs(h)
+    skip = habs < tconstr_thresh
+    grow = jnp.logical_and(jnp.logical_not(skip), habs > 0.005)
+    lag = jnp.logical_and(jnp.logical_not(skip), jnp.logical_not(grow))
+    sigma = jnp.where(grow,
+                      jnp.minimum(constr.al_sigma * update_penalty,
+                                  constr.al_sigma_max),
+                      constr.al_sigma)
+    lam = jnp.where(lag, constr.al_lambda + h * constr.al_sigma,
+                    constr.al_lambda)
+    return _replace(constr, al_sigma=sigma, al_lambda=lam)
+
+
+def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
+                      update_relax, update_ReB) -> ConstraintState:
+    """ReB weight/relaxation schedule (ConstraintsBase.h:168-183). Only
+    violated rows (g <= -thresh) update."""
+    violated = g_all <= -pconstr_thresh
+    eps = jnp.where(violated, constr.reb_eps * update_ReB, constr.reb_eps)
+    delta = jnp.where(
+        violated,
+        jnp.maximum(constr.reb_delta * update_relax, constr.reb_delta_min),
+        constr.reb_delta)
+    return _replace(constr, reb_eps=eps, reb_delta=delta)
+
+
+def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption) -> SolveResult:
+    """Run one full HS-DDP solve. `opt` is static (python) configuration —
+    iteration caps, thresholds and toggles are baked into the compiled solver;
+    use separate jit instances for cold-solve vs runtime caps."""
+    dtype = prob.xr.dtype
+    ms, al_on, reb_on = bool(opt.MS), bool(opt.AL_active), bool(opt.ReB_active)
+    eps_candidates = jnp.asarray(opt.line_search_epsilons, dtype)
+    n_eps = eps_candidates.shape[0]
+    last_node = ro_mod.last_active_node(prob)
+
+    def cost_of(X, U, constr):
+        return ro_mod.compute_cost(prob, X, U, constr, reb_on, al_on)
+
+    # ---- initial nominal rollout (MultiPhaseDDP.cpp:257-280) -------------
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, ms)
+    state = _replace(state, Xbar=ro.X, Ubar=ro.U, defect_bar=ro.defect)
+    cost0, (g0, h0) = cost_of(ro.X, ro.U, state.constr)
+    feas0 = ro_mod.dynamics_feasibility(prob, ro.defect)
+    maxp0, maxt0 = ro_mod.max_violations(prob, g0, h0)
+
+    traces0 = {
+        "cost": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(cost0),
+        "feas": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(feas0),
+        "n": jnp.array(1, jnp.int32),
+    }
+
+    carry0 = dict(
+        state=state, X=ro.X, U=ro.U, defect=ro.defect, g=g0, h=h0,
+        cost=cost0, feas=feas0, maxp=maxp0, maxt=maxt0,
+        maxp_prev=maxp0, maxt_prev=maxt0,
+        iter_ou=jnp.array(0, jnp.int32), it_total=jnp.array(0, jnp.int32),
+        stop=jnp.array(False), failed=jnp.array(False), traces=traces0,
+    )
+
+    # ---- line search (parallel over candidates) --------------------------
+    def line_search(c, dv1, dv2, merit_rho, merit_prev, feas_prev):
+        def trial(eps):
+            ro_t = ro_mod.hybrid_rollout(prob, c["state"], eps, ms)
+            cost_t, (g_t, h_t) = cost_of(ro_t.X, ro_t.U, c["state"].constr)
+            feas_t = ro_mod.dynamics_feasibility(prob, ro_t.defect)
+            merit_t = cost_t + merit_rho * feas_t
+            exp_cost = eps * dv1 + 0.5 * eps * eps * dv2
+            exp_merit = exp_cost - eps * merit_rho * feas_prev
+            ok = jnp.logical_and(
+                merit_t <= merit_prev + opt.gamma * exp_merit, ro_t.success)
+            return ok, merit_t, cost_t, feas_t, ro_t, g_t, h_t
+
+        oks, merits, costs_, feass, ros, gs, hs = jax.vmap(trial)(eps_candidates)
+        any_ok = jnp.any(oks)
+        idx = jnp.where(any_ok, jnp.argmax(oks), n_eps - 1)
+        pick = lambda tree: jax.tree_util.tree_map(lambda a: a[idx], tree)
+        ro_sel = pick(ros)
+        return (any_ok, ro_sel, pick(gs), pick(hs), costs_[idx], feass[idx],
+                merits[idx])
+
+    # ---- inner DDP loop (MultiPhaseDDP.cpp:304-382) ----------------------
+    def inner_body(c, reg):
+        st = c["state"]
+        cost, (g, h) = cost_of(c["X"], c["U"], st.constr)
+        feas = ro_mod.dynamics_feasibility(prob, c["defect"])
+
+        lqd = lq_mod.lq_approximation(prob, c["X"], c["U"], st.constr,
+                                      reb_on, al_on)
+        dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \
+            backward.backward_sweep_regularized(
+                prob, lqd, c["defect"], reg, opt.update_regularization,
+                last_node)
+        st = _replace(st, dU=dU, K=K)
+
+        if ms:
+            dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd, c["defect"], 1.0)
+            st = _replace(st, dX=dX)
+
+        dv_abs = jnp.abs(dv1 + 0.5 * dv2)
+        merit_rho = jnp.where(
+            feas > opt.dynamics_feas_thresh,
+            dv_abs / ((1.0 - opt.merit_scale) * feas) + opt.merit_offset, 0.0)
+        merit = cost + merit_rho * feas
+        cost_prev, merit_prev = cost, merit
+
+        early = jnp.logical_and(dv_abs < opt.cost_thresh,
+                                feas <= opt.dynamics_feas_thresh)
+
+        def do_line_search(c, st):
+            ls_ok, ro_sel, g_sel, h_sel, cost_sel, feas_sel, merit_sel = \
+                line_search(dict(c, state=st), dv1, dv2, merit_rho,
+                            merit_prev, feas)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ls_ok, a, b),
+                _replace(st, Xbar=ro_sel.X, Ubar=ro_sel.U,
+                         defect_bar=ro_sel.defect), st)
+            cost_new = jnp.where(ls_ok, cost_sel, cost_prev)
+            merit_new = jnp.where(ls_ok, merit_sel, merit_prev)
+            return (st2, ro_sel.X, ro_sel.U, ro_sel.defect, g_sel, h_sel,
+                    cost_new, feas_sel, merit_new)
+
+        def skip_line_search(c, st):
+            return (st, c["X"], c["U"], c["defect"], g, h, cost, feas, merit)
+
+        run_ls = jnp.logical_and(jnp.logical_not(early),
+                                 jnp.logical_not(bw_failed))
+        st, X, U, defect, g2, h2, cost2, feas2, merit2 = lax.cond(
+            run_ls, do_line_search, skip_line_search, c, st)
+
+        late = jnp.logical_and(
+            jnp.abs((cost_prev - cost2) / cost_prev) < opt.cost_thresh,
+            feas2 <= opt.dynamics_feas_thresh)
+        stop_inner = jnp.logical_or(early, jnp.logical_or(late, bw_failed))
+
+        # trace buffering (skipped on early exit — MultiPhaseDDP.cpp:340-343)
+        tr = c["traces"]
+        do_trace = jnp.logical_and(jnp.logical_not(early),
+                                   jnp.logical_not(bw_failed))
+        n = tr["n"]
+        tr = dict(
+            cost=jnp.where(do_trace, tr["cost"].at[n].set(cost2), tr["cost"]),
+            feas=jnp.where(do_trace, tr["feas"].at[n].set(feas2), tr["feas"]),
+            n=jnp.where(do_trace, jnp.minimum(n + 1, TRACE_LEN - 1), n),
+        )
+
+        maxp2, maxt2 = ro_mod.max_violations(prob, g2, h2)
+        c2 = dict(c, state=st, X=X, U=U, defect=defect, g=g2, h=h2,
+                  cost=cost2, feas=feas2, maxp=maxp2, maxt=maxt2, traces=tr,
+                  failed=bw_failed, it_total=c["it_total"] + 1)
+        return c2, reg_new, stop_inner
+
+    def outer_body(c):
+        c = dict(c, maxt_prev=c["maxt"], maxp_prev=c["maxp"],
+                 iter_ou=c["iter_ou"] + 1)
+
+        def inner_cond(ic):
+            cc, reg, stop_in, iter_in = ic
+            return jnp.logical_and(iter_in < opt.max_DDP_iter,
+                                   jnp.logical_not(stop_in))
+
+        def inner_step(ic):
+            cc, reg, stop_in, iter_in = ic
+            cc2, reg2, stop2 = inner_body(cc, reg)
+            return cc2, reg2, stop2, iter_in + 1
+
+        c, _, _, _ = lax.while_loop(
+            inner_cond, inner_step,
+            (c, jnp.zeros((), dtype), jnp.array(False), jnp.array(0, jnp.int32)))
+
+        # AL / ReB parameter updates (skipped entirely on bad solve)
+        constr = c["state"].constr
+        if al_on:
+            constr_new = update_al_params(
+                constr, c["h"], prob.td_mask, prob.term_mask,
+                opt.tconstr_thresh, opt.update_penalty)
+        else:
+            constr_new = constr
+        if reb_on:
+            constr_new = update_reb_params(
+                constr_new, c["g"], opt.pconstr_thresh, opt.update_relax,
+                opt.update_ReB)
+        constr = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(c["failed"], b, a), constr_new, constr)
+        c = dict(c, state=_replace(c["state"], constr=constr))
+
+        feas_ok = c["feas"] <= opt.dynamics_feas_thresh
+        satisfied = jnp.logical_and(
+            jnp.logical_and(c["maxt"] < opt.tconstr_thresh,
+                            jnp.abs(c["maxp"]) < opt.pconstr_thresh), feas_ok)
+        stalled = jnp.logical_and(
+            jnp.logical_and(jnp.abs(c["maxt"] - c["maxt_prev"]) < 1e-4,
+                            jnp.abs(c["maxp"] - c["maxp_prev"]) < 1e-4),
+            feas_ok)
+        stop = jnp.logical_or(satisfied, stalled)
+        return dict(c, stop=jnp.logical_or(stop, c["failed"]))
+
+    def outer_cond(c):
+        return jnp.logical_and(c["iter_ou"] < opt.max_AL_iter,
+                               jnp.logical_not(c["stop"]))
+
+    c = lax.while_loop(outer_cond, outer_body, carry0)
+
+    return SolveResult(
+        state=c["state"], cost=c["cost"], dyn_feas=c["feas"],
+        max_tconstr=c["maxt"], max_pconstr=c["maxp"],
+        n_iters=c["it_total"], solve_failed=c["failed"],
+        cost_trace=c["traces"]["cost"], feas_trace=c["traces"]["feas"])
+
+
+# jitted entry point: one compiled instance per (option set, problem shape)
+solve_jit = jax.jit(solve, static_argnames=("opt",))
+
+# batched solves: vmap over (ProblemData, SolverState) scenario axes
+solve_batch = jax.jit(jax.vmap(solve, in_axes=(0, 0, None)),
+                      static_argnames=("opt",))

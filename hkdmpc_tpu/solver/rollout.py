@@ -1,0 +1,203 @@
+"""Forward passes over the flattened transition graph.
+
+- hybrid_rollout: nonlinear rollout with feedback policy + multiple-shooting
+  node resets + reset maps at phase boundaries
+  (parity: MultiPhaseDDP::hybrid_rollout, MultiPhaseDDP.cpp:57-95 +
+   SinglePhase::hybrid_rollout, SinglePhase.cpp:182-233)
+- linear_rollout: multiple-shooting search direction dX and expected cost
+  change (parity: MultiPhaseDDP.cpp:20-50 + SinglePhase.cpp:145-178)
+- compute_cost / constraint violations
+  (parity: SinglePhase::compute_cost, SinglePhase.cpp:236-262)
+
+All of these are single `lax.scan`s (or pure vmaps) over T transitions with
+`lax.switch` on the transition kind — phase structure is data.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hkdmpc_tpu.models import hkd
+from hkdmpc_tpu.solver import costs
+from hkdmpc_tpu.solver.structs import (DYN, PAD, RESET, LQData, ProblemData,
+                                       Rollout, SolverState)
+
+DIVERGE_NORM = 1e6  # reference: SinglePhase.cpp:205-208
+
+
+def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
+                   ms: bool = True) -> Rollout:
+    """Roll the hybrid system forward at step size eps.
+
+    carry = (x_node, xsim_node): the optimization node state and the pure
+    simulation state (the latter chains through reset maps of *simulated*
+    terminal states; MultiPhaseDDP.cpp:71-79).
+
+    With multiple shooting off, only phase-*start* nodes shoot — an exact
+    replication of the reference's asymmetric check (SinglePhase.cpp:187-220).
+    """
+    T = prob.T
+    dtype = prob.xr.dtype
+    eps = jnp.asarray(eps, dtype)
+    ss = prob.ss_mask if ms else prob.ss_mask * prob.start_mask
+
+    x0 = prob.x0
+    xsim0 = x0
+    xnode0 = jnp.where(ss[0] > 0, state.Xbar[0] + eps * state.dX[0], x0)
+
+    def step(carry, inp):
+        x, xsim = carry
+        t = inp["t"]
+        kind = prob.kind[t]
+
+        def dyn_branch(_):
+            u = (state.Ubar[t] + eps * state.dU[t]
+                 + state.K[t] @ (x - state.Xbar[t]))
+            xsim_next = hkd.dynamics(x, u, prob.contact[t], prob.dt)
+            return xsim_next, xsim_next, u
+
+        def reset_branch(_):
+            xr_next = hkd.reset_map(x, prob.contact[t], prob.contact_next[t])
+            xsim_next = hkd.reset_map(xsim, prob.contact[t], prob.contact_next[t])
+            return xr_next, xsim_next, jnp.zeros(24, dtype)
+
+        def pad_branch(_):
+            return x, xsim, jnp.zeros(24, dtype)
+
+        x_prop, xsim_next, u = lax.switch(
+            kind, [pad_branch, dyn_branch, reset_branch], None)
+
+        is_pad = (kind == PAD)
+        shoot = jnp.logical_and(ss[t + 1] > 0, jnp.logical_not(is_pad))
+        x_next = jnp.where(shoot, state.Xbar[t + 1] + eps * state.dX[t + 1], x_prop)
+        ok = jnp.where(is_pad, True,
+                       jnp.linalg.norm(xsim_next) <= DIVERGE_NORM)
+        return (x_next, xsim_next), (x_next, xsim_next, u, ok)
+
+    ts = {"t": jnp.arange(T)}
+    (_, _), (X_rest, Xsim_rest, U, oks) = lax.scan(step, (xnode0, xsim0), ts)
+
+    X = jnp.concatenate([xnode0[None], X_rest], axis=0)
+    Xsim = jnp.concatenate([xsim0[None], Xsim_rest], axis=0)
+    defect = Xsim - X
+    # nodes past the active range contribute nothing
+    node_active = node_active_mask(prob)
+    defect = defect * node_active[:, None]
+    success = jnp.all(oks)
+    return Rollout(X=X, U=U, Xsim=Xsim, defect=defect, success=success)
+
+
+def node_active_mask(prob: ProblemData):
+    """(T+1,) 1.0 for node 0 and every dest node of an active transition."""
+    act = (prob.kind != PAD).astype(prob.xr.dtype)
+    return jnp.concatenate([jnp.ones(1, prob.xr.dtype), act])
+
+
+def dynamics_feasibility(prob: ProblemData, defect, norm_id: int = 2):
+    """Defect norm (parity: Trajectory::measure_dynamics_feasibility +
+    MultiPhaseDDP.cpp:514-529). norm 2: sqrt of sum of squared norms."""
+    if norm_id == 1:
+        return jnp.sum(jnp.abs(defect))
+    return jnp.sqrt(jnp.sum(defect * defect))
+
+
+def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
+                 al_active: bool):
+    """Total actual cost = running (tracking + foot reg [+ ReB]) + terminal
+    (tracking + foot reg [+ AL]).
+
+    Returns (cost, aux) where aux carries the constraint violations of this
+    trajectory: g (T,20) path, h (T+1,4) touchdown.
+    """
+    dtype = X.dtype
+    is_dyn = prob.is_dyn
+
+    def run_one(t):
+        x, u = X[t], U[t]
+        l = costs.running_cost(x, u, prob.contact[t], prob.xr[t], prob.ur[t],
+                               prob.foot_r[t], prob.dt)
+        g, row_mask = costs.grf_constraints(u, prob.contact[t], dtype)
+        l_reb = prob.dt * jnp.sum(
+            row_mask * costs.reb_value(g, constr.reb_delta[t], constr.reb_eps[t]))
+        if reb_active:
+            l = l + l_reb
+        return l, g * row_mask + (1.0 - row_mask)  # masked rows read as satisfied
+
+    run_l, g_all = jax.vmap(run_one)(jnp.arange(prob.T))
+    total = jnp.sum(is_dyn * run_l)
+
+    def term_one(j):
+        x = X[j]
+        phi = costs.terminal_cost(x, prob.term_contact[j], prob.xr[j],
+                                  prob.foot_r[j])
+        h = costs.touchdown_violations(x, prob.td_mask[j])
+        if al_active:
+            phi = phi + costs.al_cost(h, constr.al_lambda[j],
+                                      constr.al_sigma[j], prob.td_mask[j])
+        return phi, h
+
+    term_phi, h_all = jax.vmap(term_one)(jnp.arange(prob.T + 1))
+    total = total + jnp.sum(prob.term_mask * term_phi)
+    return total, (g_all, h_all)
+
+
+def max_violations(prob: ProblemData, g_all, h_all):
+    """(max_pconstr <= 0, max_tconstr >= 0) — parity with
+    ConstraintContainer::get_max_pconstrs/get_max_tconstrs."""
+    is_dyn = prob.is_dyn
+    g_eff = jnp.where(is_dyn[:, None] > 0, g_all, 0.0)
+    max_p = jnp.minimum(0.0, jnp.min(g_eff))
+    h_eff = jnp.abs(h_all) * prob.term_mask[:, None] * prob.td_mask
+    max_t = jnp.maximum(0.0, jnp.max(h_eff))
+    return max_p, max_t
+
+
+def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
+                   defect, eps) -> tuple:
+    """Propagate the linearized dynamics along (dU, K) to get the
+    multiple-shooting search direction dX and expected cost change.
+
+    Returns (dX (T+1,24), dV_1, dV_2).
+    """
+    dtype = prob.xr.dtype
+    eps = jnp.asarray(eps, dtype)
+    dx0 = eps * defect[0]     # dx_init = 0 + eps * Defect[0]
+
+    def step(carry, t):
+        dx = carry
+        kind = prob.kind[t]
+
+        du = eps * state.dU[t] + state.K[t] @ dx
+        dx_dyn = lq.A[t] @ dx + lq.B[t] @ du + eps * defect[t + 1]
+        dv1_dyn = lq.lx[t] @ dx + lq.lu[t] @ du
+        dv2_dyn = dx @ lq.lxx[t] @ dx + du @ lq.luu[t] @ du + du @ lq.lux[t] @ dx
+
+        # reset: terminal cost of the source node contributes, then Px
+        dv1_rst = lq.phix[t] @ dx
+        dv2_rst = dx @ lq.phixx[t] @ dx
+        dx_rst = lq.A[t] @ dx + eps * defect[t + 1]
+
+        is_dyn = (kind == DYN)
+        is_rst = (kind == RESET)
+        dx_next = jnp.where(is_dyn, dx_dyn, jnp.where(is_rst, dx_rst, dx))
+        dv1 = jnp.where(is_dyn, dv1_dyn, jnp.where(is_rst, dv1_rst, 0.0))
+        dv2 = jnp.where(is_dyn, dv2_dyn, jnp.where(is_rst, dv2_rst, 0.0))
+        return dx_next, (dx_next, dv1, dv2)
+
+    dx_last, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T))
+    dX = jnp.concatenate([dx0[None], dX_rest], axis=0)
+
+    # terminal node of the last phase (last active node)
+    last = last_active_node(prob)
+    dx_term = dX[last]
+    dV_1 = jnp.sum(dv1s) + lq.phix[last] @ dx_term
+    dV_2 = jnp.sum(dv2s) + dx_term @ lq.phixx[last] @ dx_term
+    return dX, dV_1, dV_2
+
+
+def last_active_node(prob: ProblemData):
+    """Index of the last active node (terminal node of the final phase)."""
+    act = (prob.kind != PAD)
+    return jnp.sum(act.astype(jnp.int32))  # nodes 0..n_active

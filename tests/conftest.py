@@ -6,11 +6,13 @@ reference's double-precision kernels.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment's sitecustomize forces JAX_PLATFORMS=axon (the TPU
+# tunnel); jax.config takes precedence, so use that to pin tests to CPU.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
