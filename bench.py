@@ -1,0 +1,71 @@
+"""Benchmark: batched HS-DDP solves/s/chip on the trot MPC workload.
+
+Workload = BASELINE.json config 5: perturbed-initial-state MPC scenarios,
+runtime iteration caps (max_AL_iter=2, max_DDP_iter=1 — the reference's MPC
+hot path, HKDMPC.cpp:102-103), full 0.6 s / 60-step multi-phase horizon,
+float32 on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: reference target is >10k solves/s on a v5p-16 slice
+(BASELINE.md) = 1250 solves/s/chip; vs_baseline = value / 1250.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import __graft_entry__ as ge
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    from hkdmpc_tpu.solver import ddp
+
+    _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
+    opt = opt.runtime()
+
+    prob_b, state_b = replicate_problem(prob, state, batch)
+    prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(0))
+    prob_b, state_b = jax.device_put((prob_b, state_b))
+
+    solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None)),
+                    static_argnames=("opt",))
+
+    # warmup / compile
+    res = solve(prob_b, state_b, opt)
+    res.cost.block_until_ready()
+    n_failed = int(jnp.sum(res.solve_failed))
+    mean_cost = float(jnp.mean(res.cost))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = solve(prob_b, state_b, opt)
+        res.cost.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    solves_per_s = batch / best
+    out = {
+        "metric": "hsddp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1250.0, 3),
+    }
+    print(json.dumps(out))
+    print(f"# batch={batch} best={best*1e3:.1f}ms times_ms="
+          f"{[round(t*1e3,1) for t in times]} mean_cost={mean_cost:.2f} "
+          f"failed={n_failed} device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Robot-facing MPC runtime: LCM-wire-compatible service loop.
+
+Parity target: HKDMPC/mpc_main.cpp + the LCM handler in HKDMPC.cpp:168-200 —
+subscribe "mpc_data", re-solve on each request (honoring reset_mpc / MS
+flags), publish "mpc_command" and "solver_info" on the same UDP-multicast
+bus, byte-compatible with the reference's low-level controller.
+
+Run:  python -m hkdmpc_tpu.mpc.runtime --reference <quad_reference.csv>
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from hkdmpc_tpu.comm import LCMTransport
+from hkdmpc_tpu.comm.lcm_types import load_reference_types
+from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
+
+DEFAULT_LCMTYPES = "/root/reference/lcmtypes"
+
+
+class MPCService:
+    def __init__(self, solver: HKDMPCSolver, transport: LCMTransport,
+                 lcmtypes_dir: str = DEFAULT_LCMTYPES):
+        self.solver = solver
+        self.tx = transport
+        types = load_reference_types(lcmtypes_dir)
+        self.data_t = types["hkd_data_lcmt"]
+        self.cmd_t = types["hkd_command_lcmt"]
+        self.info_t = types["solver_info_lcmt"]
+        self.tx.subscribe("mpc_data")
+
+    def publish_command(self, cmd):
+        self.tx.publish("mpc_command", self.cmd_t.encode(cmd.to_lcm_dict()))
+
+    def publish_solver_info(self):
+        res = self.solver.last_result
+        if res is None:
+            return
+        ct = np.asarray(res.cost_trace)
+        ct = ct[~np.isnan(ct)]
+        ft = np.asarray(res.feas_trace)[: len(ct)]
+        msg = {"n_iter": len(ct), "cost": ct, "dyn_feas": ft,
+               "eqn_feas": np.full(len(ct), float(res.max_tconstr)),
+               "ineq_feas": np.full(len(ct), float(res.max_pconstr))}
+        self.tx.publish("solver_info", self.info_t.encode(msg))
+
+    def handle(self, msg: dict):
+        if msg["reset_mpc"]:
+            opt = dataclasses.replace(self.solver.opt, MS=bool(msg["MS"]))
+            self.solver.opt = opt
+            cmd = self.solver.initialize()
+        else:
+            cmd = self.solver.update(
+                rpy=np.asarray(msg["rpy"]), p=np.asarray(msg["p"]),
+                v=np.asarray(msg["vWorld"]), omega=np.asarray(msg["omegaBody"]),
+                qJ=np.asarray(msg["qJ"]), mpc_time=float(msg["mpctime"]))
+        self.publish_command(cmd)
+        self.publish_solver_info()
+
+    def run(self, max_messages=None):
+        n = 0
+        while max_messages is None or n < max_messages:
+            got = self.tx.receive(timeout_ms=100)
+            if got is None:
+                continue
+            chan, buf = got
+            if chan != "mpc_data":
+                continue
+            self.handle(self.data_t.decode(buf))
+            n += 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", required=True)
+    ap.add_argument("--ddp-settings", default=None)
+    ap.add_argument("--constraint-params", default=None)
+    ap.add_argument("--url", default="udpm://239.255.76.67:7667?ttl=255")
+    args = ap.parse_args()
+
+    solver = HKDMPCSolver(args.reference, args.ddp_settings,
+                          args.constraint_params, MPCConfig())
+    solver.initialize()
+    svc = MPCService(solver, LCMTransport(args.url))
+    print("MPC service listening on mpc_data ...")
+    svc.run()
+
+
+if __name__ == "__main__":
+    main()

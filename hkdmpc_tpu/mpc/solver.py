@@ -1,0 +1,200 @@
+"""Receding-horizon MPC orchestrator.
+
+Parity target: HKDMPCSolver (HKDMPC/HKDMPC.{h,cpp}) — cold initialize,
+per-request re-solve with runtime iteration caps, next-foot-placement
+extraction, and the exact mpc_command output contract
+(controls, nominal body states, 12x12 feedback gains, contacts, status
+durations, foot placements, solve time — lcmtypes/hkd_command_lcmt.lcm).
+
+Architecture difference (TPU-first): instead of a detached solver thread per
+LCM request guarded by a mutex (HKDMPC.cpp:168-200), the solve is one jitted
+XLA call; the host loop stays single-threaded and async dispatch comes from
+XLA's own execution stream. Structure changes (phase pops/appends) never
+recompile — the problem is masked data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from hkdmpc_tpu.config import (ConstraintParams, HSDDPOption,
+                               load_constraint_params, load_ddp_setting)
+from hkdmpc_tpu.models import hkd
+from hkdmpc_tpu.reference import QuadReference
+from hkdmpc_tpu.solver import ddp
+from hkdmpc_tpu.solver.problem import HKDProblem
+
+
+@dataclasses.dataclass
+class MPCConfig:
+    # parity: HKDMPC.cpp:26-29
+    plan_duration: float = 0.6
+    nsteps_between_mpc: int = 1
+    timestep: float = 0.01
+    n_cmd_extra: int = 7   # publish nsteps+7 controls to mask latency (HKDMPC.cpp:245)
+
+
+@dataclasses.dataclass
+class MPCCommand:
+    """Contents of hkd_command_lcmt (the solver's output contract)."""
+    N_mpcsteps: int
+    mpc_times: np.ndarray        # (N,)
+    hkd_controls: np.ndarray     # (N, 24)
+    des_body_state: np.ndarray   # (N, 12)
+    contacts: np.ndarray         # (N, 4) int
+    status_times: np.ndarray     # (N, 4)
+    feedback: np.ndarray         # (N, 12, 12)
+    foot_placement: np.ndarray   # (12,)
+    solve_time: float
+
+    def to_lcm_dict(self, n_slots: int = 10) -> dict:
+        """Pad to the fixed-size LCM wire layout (hkd_command_lcmt.lcm)."""
+        n = min(self.N_mpcsteps, n_slots)
+        pad = lambda a, shape: np.concatenate(
+            [a[:n], np.zeros((n_slots - n,) + shape, a.dtype)], axis=0)
+        return {
+            "N_mpcsteps": n,
+            "mpc_times": pad(self.mpc_times, ()),
+            "hkd_controls": pad(self.hkd_controls, (24,)),
+            "des_body_state": pad(self.des_body_state, (12,)),
+            "contacts": pad(self.contacts, (4,)),
+            "statusTimes": pad(self.status_times, (4,)),
+            "foot_placement": self.foot_placement,
+            "feedback": pad(self.feedback, (12, 12)),
+            "solve_time": self.solve_time,
+        }
+
+
+class HKDMPCSolver:
+    def __init__(self, reference_file: str,
+                 ddp_settings: Optional[str] = None,
+                 constraint_params: Optional[str] = None,
+                 config: Optional[MPCConfig] = None,
+                 dtype=jnp.float64):
+        self.cfg = config or MPCConfig()
+        self.opt = (load_ddp_setting(ddp_settings) if ddp_settings
+                    else HSDDPOption())
+        self.cparams = (load_constraint_params(constraint_params)
+                        if constraint_params else ConstraintParams())
+        self.ref = QuadReference.from_file(reference_file)
+        self.problem = HKDProblem(
+            self.ref, plan_duration=self.cfg.plan_duration,
+            dt_sim=self.cfg.timestep, dt_mpc=self.cfg.timestep,
+            cparams=self.cparams, dtype=dtype)
+        self.dtype = dtype
+        self.mpc_iter = 0
+        self.mpc_time = 0.0
+        self.solve_time = 0.0
+        self.pf = np.zeros((4, 3))
+        self.last_result = None
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def default_stand_state(contact) -> np.ndarray:
+        """Hard-coded stand pose initial condition (HKDMPC.cpp:44-54)."""
+        body = np.zeros(12)
+        body[5] = 0.2486
+        qJ = np.tile([0.0, -0.8, 1.6], 4)
+        return HKDMPCSolver.hkd_state_from_measurements(
+            rpy=np.zeros(3), p=body[3:6], v=np.zeros(3), omega=np.zeros(3),
+            qJ=qJ, contact=contact)
+
+    @staticmethod
+    def hkd_state_from_measurements(rpy, p, v, omega, qJ, contact):
+        """Build the 24-dim HKD state from robot measurements. NOTE the
+        reference receives rpy as (roll, pitch, yaw) and flips it into
+        (yaw, pitch, roll) (HKDMPC.cpp:118)."""
+        eul = np.asarray([rpy[2], rpy[1], rpy[0]])
+        qd = hkd.compute_hkd_state(
+            jnp.asarray(eul, jnp.float64), jnp.asarray(p, jnp.float64),
+            jnp.asarray(qJ, jnp.float64),
+            jnp.asarray(contact, jnp.float64))
+        return np.concatenate([eul, p, omega, v, np.asarray(qd)])
+
+    def initialize(self) -> MPCCommand:
+        self.problem.initialization()
+        x0 = self.default_stand_state(self.problem.phases[0].contact)
+        prob, state = self.problem.build(x0)
+        t0 = time.perf_counter()
+        res = ddp.solve_jit(prob, state, self.opt)
+        res.cost.block_until_ready()
+        self.solve_time = (time.perf_counter() - t0) * 1e3
+        self.problem.unflatten(res.state)
+        self.last_result = res
+        self.mpc_iter = 0
+        self.update_foot_placement()
+        return self.make_command()
+
+    def update(self, rpy, p, v, omega, qJ, mpc_time: float = 0.0) -> MPCCommand:
+        """One MPC re-solve from measured robot state (HKDMPC.cpp:96-166)."""
+        self.mpc_iter += 1
+        self.mpc_time = mpc_time
+        self.problem.update(self.cfg.nsteps_between_mpc)
+        contact = self.problem.phases[0].contact
+        x0 = self.hkd_state_from_measurements(rpy, p, v, omega, qJ, contact)
+        prob, state = self.problem.build(x0)
+        t0 = time.perf_counter()
+        res = ddp.solve_jit(prob, state, self.opt.runtime())
+        res.cost.block_until_ready()
+        self.solve_time = (time.perf_counter() - t0) * 1e3
+        self.problem.unflatten(res.state)
+        self.last_result = res
+        self.update_foot_placement()
+        return self.make_command()
+
+    # ------------------------------------------------------------------
+
+    def update_foot_placement(self):
+        """Scan the phase sequence for the next swing->stance transition per
+        leg; its foot placement is the next phase's initial qdummy
+        (HKDMPC.cpp:206-240, incl. the reference's break after 4 phases)."""
+        phases = self.problem.phases
+        found = [False] * 4
+        for i in range(len(phases) - 1):
+            c, cn = phases[i].contact, phases[i + 1].contact
+            for leg in range(4):
+                if not found[leg] and c[leg] == 0 and cn[leg] == 1:
+                    self.pf[leg] = phases[i + 1].Xbar[0, 12 + 3 * leg:
+                                                      15 + 3 * leg]
+                    found[leg] = True
+            if i >= 4:
+                break
+
+    def make_command(self) -> MPCCommand:
+        """Pack the command message (HKDMPC.cpp:242-298): walk the phase
+        sequence step-by-step collecting controls / nominal states / gains."""
+        n = self.cfg.nsteps_between_mpc + self.cfg.n_cmd_extra
+        controls = np.zeros((n, 24))
+        body = np.zeros((n, 12))
+        gains = np.zeros((n, 12, 12))
+        contacts = np.zeros((n, 4), int)
+        status = np.zeros((n, 4))
+        times = np.zeros(n)
+        k = i = s = 0
+        phases = self.problem.phases
+        while k < n:
+            if s >= phases[i].horizon:
+                s = 0
+                i += 1
+                if i >= len(phases):
+                    break
+            ph = phases[i]
+            controls[k] = ph.Ubar[s]
+            body[k] = ph.Xbar[s, :12]
+            gains[k] = ph.K[s, :12, :12]
+            contacts[k] = ph.contact
+            status[k] = ph.contact_duration
+            times[k] = self.mpc_time + k * self.cfg.timestep
+            s += 1
+            k += 1
+        return MPCCommand(
+            N_mpcsteps=n, mpc_times=times, hkd_controls=controls,
+            des_body_state=body, contacts=contacts, status_times=status,
+            feedback=gains, foot_placement=self.pf.reshape(12).copy(),
+            solve_time=self.solve_time)
