@@ -41,8 +41,16 @@ class QuadReference:
     # ---- loading ----------------------------------------------------------
 
     def load_file(self, fname: str):
-        """Parse the sectioned CSV format (see module docstring)."""
+        """Parse the sectioned CSV format (see module docstring).
+
+        Record semantics mirror the reference parser exactly
+        (QuadReference.cpp:129-285): a `body_state` header starts a fresh
+        zeroed record, known section headers (substring match) fill it,
+        `status_dur` commits it. Unknown sections (e.g. flytrot's
+        `jnt_angle` / `foot_velocities`) are ignored, leaving zeros — the
+        reference behaves identically on those files."""
         arrays = {s: [] for s in _SECTIONS}
+        record = {s: [0.0] * _SIZES[s] for s in _SECTIONS}
         dt = None
         with open(fname) as f:
             lines = iter(f.read().splitlines())
@@ -53,8 +61,14 @@ class QuadReference:
                 continue
             for s in _SECTIONS:
                 if s in key:
+                    if s == "body_state":
+                        record = {k: [0.0] * _SIZES[k] for k in _SECTIONS}
                     vals = [float(w) for w in next(lines).split()][: _SIZES[s]]
-                    arrays[s].append(vals)
+                    vals += [0.0] * (_SIZES[s] - len(vals))
+                    record[s] = vals
+                    if s == "status_dur":
+                        for k in _SECTIONS:
+                            arrays[k].append(record[k])
                     break
         assert dt is not None, f"no dt record in {fname}"
         self.dt = dt
