@@ -36,11 +36,11 @@ def main():
     prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(0))
     prob_b, state_b = jax.device_put((prob_b, state_b))
 
-    solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None)),
-                    static_argnames=("opt",))
+    solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None, None)),
+                    static_argnames=("opt", "parallel_rollout"))
 
     # warmup / compile
-    res = solve(prob_b, state_b, opt)
+    res = solve(prob_b, state_b, opt, True)
     res.cost.block_until_ready()
     n_failed = int(jnp.sum(res.solve_failed))
     mean_cost = float(jnp.mean(res.cost))
@@ -48,7 +48,7 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = solve(prob_b, state_b, opt)
+        res = solve(prob_b, state_b, opt, True)
         res.cost.block_until_ready()
         times.append(time.perf_counter() - t0)
 

@@ -154,6 +154,113 @@ def dynamics_jacobians(x, u, contact, dt):
     return A, B
 
 
+def _cross_mat(v):
+    z = jnp.zeros((), v.dtype)
+    return jnp.array([
+        [z, -v[2], v[1]],
+        [v[2], z, -v[0]],
+        [-v[1], v[0], z]])
+
+
+def dynamics_jacobians_analytic(x, u, contact, dt):
+    """Hand-derived (A, B) — identical values to `dynamics_jacobians` but
+    ~20x cheaper than the 48-tangent jacfwd (validated to machine precision
+    in tests/test_dynamics_golden.py).
+
+    Key simplification: since R in SO(3) satisfies (R^T a) x (R^T b)
+    = R^T (a x b), the body torque is tau = R^T m with m = sum_l c_l r_l x f_l,
+    so all orientation derivatives reduce to dR^T/d(angle) @ m.
+    """
+    dtype = x.dtype
+    eul, pos = x[0:3], x[3:6]
+    omega = x[6:9]
+    qdummy = x[12:24]
+    grf = u[0:12].reshape(4, 3)
+    c = contact
+    c12 = jnp.repeat(c, 3)
+
+    yaw, pitch, roll = eul[0], eul[1], eul[2]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    R = euler_zyx_to_rotmat(eul)
+
+    z33 = jnp.zeros((3, 3), dtype)
+
+    # --- euler-rate rows (0:3): d(E w)/d(eul), E itself wrt omega
+    E = euler_zyx_rates_matrix(eul)
+    wy, wz = omega[1], omega[2]
+    s = sr * wy + cr * wz                 # appears in yaw/roll rows
+    t = cr * wy - sr * wz
+    dE_deul = jnp.array([
+        [0.0, s * sp / (cp * cp), t / cp],
+        [0.0, 0.0, -s],
+        [0.0, s / (cp * cp), t * sp / cp],
+    ])
+
+    # --- torque m = sum c r x f  (world), tau = R^T m
+    foot = qdummy.reshape(4, 3)
+    r_world = jnp.concatenate(
+        [foot[:, 0:2] - pos[0:2], jnp.broadcast_to(-pos[2], (4, 1))], axis=1)
+    m = jnp.sum(c[:, None] * jnp.cross(r_world, grf), axis=0)
+    F_c = jnp.sum(c[:, None] * grf, axis=0)
+
+    # dR/d(angle)^T @ m  for the three ZYX angles
+    dRz = jnp.array([[-sy, -cy, 0.0], [cy, -sy, 0.0], [0.0, 0.0, 0.0]])
+    dRy = jnp.array([[-sp, 0.0, cp], [0.0, 0.0, 0.0], [-cp, 0.0, -sp]])
+    dRx = jnp.array([[0.0, 0.0, 0.0], [0.0, -sr, -cr], [0.0, cr, -sr]])
+    Rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    dR_yaw = dRz @ Ry @ Rx
+    dR_pitch = Rz @ dRy @ Rx
+    dR_roll = Rz @ Ry @ dRx
+    dtau_deul = jnp.stack([dR_yaw.T @ m, dR_pitch.T @ m, dR_roll.T @ m], axis=1)
+
+    dtau_dpos = R.T @ _cross_mat(F_c)
+
+    I_diag = jnp.asarray(mc.INERTIA_DIAG, dtype=dtype)
+    I_inv = jnp.asarray(mc.INERTIA_INV_DIAG, dtype=dtype)
+    # d/dw [ -w x (I w) ] = -( [w]x I - [I w]x )
+    gyro = -(_cross_mat(omega) @ jnp.diag(I_diag) - _cross_mat(I_diag * omega))
+
+    # d tau / d qdummy: per leg, columns (x, y) are R^T (e_j x f_l), z is 0
+    # e_x x f = (0, -f_z, f_y); e_y x f = (f_z, 0, -f_x)
+    cols = []
+    zero3 = jnp.zeros(3, dtype)
+    for l in range(4):
+        f = grf[l]
+        ex_cross_f = jnp.array([0.0, -f[2], f[1]], dtype)
+        ey_cross_f = jnp.array([f[2], 0.0, -f[0]], dtype)
+        cols.append(c[l] * (R.T @ ex_cross_f))
+        cols.append(c[l] * (R.T @ ey_cross_f))
+        cols.append(zero3)
+    dtau_dqd = jnp.stack(cols, axis=1)
+
+    Iinv_col = I_inv[:, None]
+    # --- assemble A = I + dt * J
+    A = jnp.zeros((24, 24), dtype)
+    A = A.at[0:3, 1:3].set(dE_deul[:, 1:3])
+    A = A.at[0:3, 6:9].set(E)
+    A = A.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+    A = A.at[6:9, 0:3].set(Iinv_col * dtau_deul)
+    A = A.at[6:9, 3:6].set(Iinv_col * dtau_dpos)
+    A = A.at[6:9, 6:9].set(Iinv_col * gyro)
+    A = A.at[6:9, 12:24].set(Iinv_col * dtau_dqd)
+    A = dt * A + jnp.eye(24, dtype=dtype)
+
+    # --- B
+    B = jnp.zeros((24, 24), dtype)
+    for l in range(4):
+        B = B.at[6:9, 3 * l:3 * l + 3].set(
+            c[l] * (Iinv_col * (R.T @ _cross_mat(r_world[l]))))
+        B = B.at[9:12, 3 * l:3 * l + 3].set(
+            (c[l] / mc.MASS) * jnp.eye(3, dtype=dtype))
+    B = B.at[12:24, 12:24].set(jnp.diag(1.0 - c12))
+    B = dt * B
+    return A, B
+
+
 def reset_map(x, c_cur, c_next):
     """Hybrid reset map applied at a phase boundary.
 

@@ -122,7 +122,8 @@ class HKDMPCSolver:
         x0 = self.default_stand_state(self.problem.phases[0].contact)
         prob, state = self.problem.build(x0)
         t0 = time.perf_counter()
-        res = ddp.solve_jit(prob, state, self.opt)
+        res = ddp.solve_jit(prob, state, self.opt,
+                            self.problem.all_shooting())
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -140,7 +141,8 @@ class HKDMPCSolver:
         x0 = self.hkd_state_from_measurements(rpy, p, v, omega, qJ, contact)
         prob, state = self.problem.build(x0)
         t0 = time.perf_counter()
-        res = ddp.solve_jit(prob, state, self.opt.runtime())
+        res = ddp.solve_jit(prob, state, self.opt.runtime(),
+                            self.problem.all_shooting())
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)

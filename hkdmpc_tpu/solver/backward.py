@@ -13,18 +13,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from hkdmpc_tpu.ops.linalg import sweep_inverse
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET, LQData, ProblemData
 
 REG_MIN_STEP = 1e-3   # reference: MultiPhaseDDP.cpp:157
 REG_MAX = 1e2         # reference: MultiPhaseDDP.cpp:160
 CHOL_SHIFT = 1e-9     # reference: SinglePhase.cpp:337
-
-
-def _chol_psd(M):
-    """Positive-definiteness check via Cholesky: True if M - shift*I admits a
-    finite Cholesky factor (parity with Eigen LLT isPositive usage)."""
-    L = jnp.linalg.cholesky(M - CHOL_SHIFT * jnp.eye(M.shape[0], dtype=M.dtype))
-    return jnp.all(jnp.isfinite(L))
 
 
 def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
@@ -57,9 +51,8 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
             Qux = lq.lux[t] + lq.B[t].T @ H @ lq.A[t]
             Qxx = Qxx + regularization * eye
             Quu = Quu + regularization * eye
-            psd = _chol_psd(Quu)
-            Quu_safe = jnp.where(psd, Quu, eye)
-            Quu_inv = jnp.linalg.inv(Quu_safe)
+            Quu_inv, psd = sweep_inverse(Quu, CHOL_SHIFT)
+            Quu_inv = jnp.where(psd, Quu_inv, eye)
             Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
             Qxx = 0.5 * (Qxx + Qxx.T)
             dU_t = -Quu_inv @ Qu

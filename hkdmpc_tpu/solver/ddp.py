@@ -64,21 +64,30 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
     return _replace(constr, reb_eps=eps, reb_delta=delta)
 
 
-def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption) -> SolveResult:
+def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
+          parallel_rollout: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` is static (python) configuration —
     iteration caps, thresholds and toggles are baked into the compiled solver;
-    use separate jit instances for cold-solve vs runtime caps."""
+    use separate jit instances for cold-solve vs runtime caps.
+
+    parallel_rollout (static): use the scan-free rollout — only valid when
+    every active node is a shooting node (HKDProblem.all_shooting())."""
     dtype = prob.xr.dtype
     ms, al_on, reb_on = bool(opt.MS), bool(opt.AL_active), bool(opt.ReB_active)
     eps_candidates = jnp.asarray(opt.line_search_epsilons, dtype)
     n_eps = eps_candidates.shape[0]
     last_node = ro_mod.last_active_node(prob)
 
+    if parallel_rollout and ms:
+        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout_parallel(prob, st, eps)
+    else:
+        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout(prob, st, eps, ms)
+
     def cost_of(X, U, constr):
         return ro_mod.compute_cost(prob, X, U, constr, reb_on, al_on)
 
     # ---- initial nominal rollout (MultiPhaseDDP.cpp:257-280) -------------
-    ro = ro_mod.hybrid_rollout(prob, state, 0.0, ms)
+    ro = rollout_fn(state, 0.0)
     state = _replace(state, Xbar=ro.X, Ubar=ro.U, defect_bar=ro.defect)
     cost0, (g0, h0) = cost_of(ro.X, ro.U, state.constr)
     feas0 = ro_mod.dynamics_feasibility(prob, ro.defect)
@@ -101,7 +110,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption) -> SolveResul
     # ---- line search (parallel over candidates) --------------------------
     def line_search(c, dv1, dv2, merit_rho, merit_prev, feas_prev):
         def trial(eps):
-            ro_t = ro_mod.hybrid_rollout(prob, c["state"], eps, ms)
+            ro_t = rollout_fn(c["state"], eps)
             cost_t, (g_t, h_t) = cost_of(ro_t.X, ro_t.U, c["state"].constr)
             feas_t = ro_mod.dynamics_feasibility(prob, ro_t.defect)
             merit_t = cost_t + merit_rho * feas_t
@@ -249,8 +258,9 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption) -> SolveResul
 
 
 # jitted entry point: one compiled instance per (option set, problem shape)
-solve_jit = jax.jit(solve, static_argnames=("opt",))
+solve_jit = jax.jit(solve, static_argnames=("opt", "parallel_rollout"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes
-solve_batch = jax.jit(jax.vmap(solve, in_axes=(0, 0, None)),
-                      static_argnames=("opt",))
+solve_batch = jax.jit(
+    jax.vmap(solve, in_axes=(0, 0, None, None)),
+    static_argnames=("opt", "parallel_rollout"))

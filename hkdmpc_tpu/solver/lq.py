@@ -31,7 +31,8 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
         kind = prob.kind[t]
 
         def dyn_branch(_):
-            A, B = hkd.dynamics_jacobians(x, u, prob.contact[t], prob.dt)
+            A, B = hkd.dynamics_jacobians_analytic(x, u, prob.contact[t],
+                                                   prob.dt)
             lx, lu, lxx, luu, lux = costs.running_cost_partials(
                 x, u, prob.contact[t], prob.xr[t], prob.ur[t],
                 prob.foot_r[t], prob.dt)

@@ -229,6 +229,11 @@ class HKDProblem:
     # flattening
     # ------------------------------------------------------------------
 
+    def all_shooting(self) -> bool:
+        """True when every phase's nodes are shooting nodes — enables the
+        scan-free parallel rollout path (ddp.solve(parallel_rollout=True))."""
+        return all(self._ss_on(i) for i in range(len(self.phases)))
+
     def _ss_on(self, i: int) -> bool:
         """Shooting-set activity of phase i (HKDProblem.cpp:205-216 +
         SinglePhase::update_SS_config)."""

@@ -89,6 +89,49 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
     return Rollout(X=X, U=U, Xsim=Xsim, defect=defect, success=success)
 
 
+def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
+                            eps) -> Rollout:
+    """Scan-free hybrid rollout — valid when every active node is a shooting
+    node (the default: update_SS_config makes all nodes shooting).
+
+    Then X is fully determined up front (X = Xbar + eps dX), U follows
+    elementwise (U = Ubar + eps (dU + K dX)), and every one-step simulation
+    f(X[t], U[t]) is independent — the whole rollout collapses to one vmap
+    over transitions plus a gather for reset boundaries (the Xsim source of a
+    RESET transition is the simulated output of the preceding DYN
+    transition). The horizon-sequential loop of the reference
+    (SinglePhase.cpp:197-224) disappears entirely.
+    """
+    T = prob.T
+    dtype = prob.xr.dtype
+    eps = jnp.asarray(eps, dtype)
+
+    X = state.Xbar + eps * state.dX                               # (T+1,24)
+    U = state.Ubar + eps * (state.dU
+                            + jnp.einsum("tij,tj->ti", state.K, state.dX[:-1]))
+
+    sim = hkd.dynamics_vmap_steps(X[:-1], U, prob.contact, prob.dt)  # (T,24)
+
+    # reset transitions: source sim state = sim output of transition t-1
+    sim_prev = jnp.concatenate([prob.x0[None], sim[:-1]], axis=0)
+    reset_out = jax.vmap(hkd.reset_map)(sim_prev, prob.contact,
+                                        prob.contact_next)
+
+    is_dyn = (prob.kind == DYN)
+    is_reset = (prob.kind == RESET)
+    xsim_dest = jnp.where(is_dyn[:, None], sim,
+                          jnp.where(is_reset[:, None], reset_out, X[1:]))
+    Xsim = jnp.concatenate([prob.x0[None], xsim_dest], axis=0)
+
+    node_active = node_active_mask(prob)
+    defect = (Xsim - X) * node_active[:, None]
+
+    norms = jnp.linalg.norm(xsim_dest, axis=-1)
+    pad = (prob.kind == PAD)
+    success = jnp.all(jnp.where(pad, True, norms <= DIVERGE_NORM))
+    return Rollout(X=X, U=U, Xsim=Xsim, defect=defect, success=success)
+
+
 def node_active_mask(prob: ProblemData):
     """(T+1,) 1.0 for node 0 and every dest node of an active transition."""
     act = (prob.kind != PAD).astype(prob.xr.dtype)

