@@ -82,16 +82,66 @@ def foot_positions(pos, eul, qJ):
     return jnp.stack([foot_position(pos, eul, q[l], l) for l in range(4)])
 
 
+def _euler_zyx_rotmat_derivs(eul):
+    """(R, dR/dyaw, dR/dpitch, dR/droll)."""
+    yaw, pitch, roll = eul[0], eul[1], eul[2]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    Rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    dRz = jnp.array([[-sy, -cy, 0.0], [cy, -sy, 0.0], [0.0, 0.0, 0.0]])
+    dRy = jnp.array([[-sp, 0.0, cp], [0.0, 0.0, 0.0], [-cp, 0.0, -sp]])
+    dRx = jnp.array([[0.0, 0.0, 0.0], [0.0, -sr, -cr], [0.0, cr, -sr]])
+    return Rz @ Ry @ Rx, dRz @ Ry @ Rx, Rz @ dRy @ Rx, Rz @ Ry @ dRx
+
+
+def leg_jacobian(qleg, side_sign):
+    """d p_leg / d qleg (3,3), closed form (derivative of
+    leg_forward_kinematics)."""
+    l1, l2, l3 = mc.ABAD_LINK, mc.THIGH_LINK, mc.SHANK_LINK
+    q1, q2, q3 = qleg[0], qleg[1], qleg[2]
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    s2, c2 = jnp.sin(q2), jnp.cos(q2)
+    s23, c23 = jnp.sin(q2 + q3), jnp.cos(q2 + q3)
+    ext = l3 * c23 + l2 * c2           # leg extension terms
+    flx = l3 * s23 + l2 * s2
+    p_y = l1 * side_sign * c1 + s1 * ext
+    p_z = l1 * side_sign * s1 - c1 * ext
+    return jnp.array([
+        [0.0,        ext,       l3 * c23],
+        [-p_z,       -s1 * flx, -s1 * l3 * s23],
+        [p_y,        c1 * flx,  c1 * l3 * s23],
+    ])
+
+
+def foot_jacobian_analytic(pos, eul, qleg, leg):
+    """(d pf/d pos (3,3)=I implied, d pf/d eul (3,3), d pf/d qleg (3,3)) for
+    pf = pos + R (hip + p_leg). Matches the reference's comp_foot_jacob_l
+    kernels to machine precision (tests/test_dynamics_golden.py)."""
+    R, dRy_, dRp_, dRr_ = _euler_zyx_rotmat_derivs(eul)
+    p = jnp.asarray(mc.HIP_OFFSETS[leg], eul.dtype) + leg_forward_kinematics(
+        qleg, mc.SIDE_SIGNS[leg])
+    d_eul = jnp.stack([dRy_ @ p, dRp_ @ p, dRr_ @ p], axis=1)
+    d_q = R @ leg_jacobian(qleg, mc.SIDE_SIGNS[leg])
+    return d_eul, d_q
+
+
 def foot_height_jacobian(x, leg):
     """d foot_z / dx (24,) for `leg`, with qdummy interpreted as joint angles.
 
     Matches the reference's TouchDownConstraint::compute_partial row layout
-    (reference: HKDMPC/HKD-TrajOpt/HKDConstraints.cpp:124-171): obtained here
-    simply as jacfwd of the scalar foot height through the state.
+    (reference: HKDMPC/HKD-TrajOpt/HKDConstraints.cpp:124-171), via the
+    closed-form foot jacobian.
     """
-    def fz(xx):
-        return foot_position(xx[3:6], xx[0:3], xx[12 + 3 * leg: 15 + 3 * leg], leg)[2]
-    return jax.grad(fz)(x)
+    d_eul, d_q = foot_jacobian_analytic(x[3:6], x[0:3],
+                                        x[12 + 3 * leg: 15 + 3 * leg], leg)
+    row = jnp.zeros(24, x.dtype)
+    row = row.at[0:3].set(d_eul[2])
+    row = row.at[5].set(1.0)  # d pf_z / d pos_z (d pf/d pos = I)
+    row = row.at[12 + 3 * leg: 15 + 3 * leg].set(d_q[2])
+    return row
 
 
 def compute_hkd_state(eul, pos, qJ, contact):
@@ -286,7 +336,36 @@ def reset_map(x, c_cur, c_next):
 
 
 def reset_map_jacobian(x, c_cur, c_next):
-    """Px = d reset_map / dx (24,24) — parity with HKDReset::resetmap_partial."""
+    """Px = d reset_map / dx (24,24) — parity with HKDReset::resetmap_partial.
+
+    Closed-form: identity body block; per leg, stance->swing rows zero,
+    swing->stance rows = cmap-masked analytic foot jacobian, otherwise
+    identity (validated against jacfwd of reset_map in the test suite).
+    """
+    dtype = x.dtype
+    eul, pos, qdummy = x[0:3], x[3:6], x[12:24]
+    qd = qdummy.reshape(4, 3)
+    Px = jnp.eye(24, dtype=dtype)
+    for l in range(4):
+        to_swing = c_cur[l] * (1.0 - c_next[l])
+        to_stance = (1.0 - c_cur[l]) * c_next[l]
+        keep = 1.0 - to_swing - to_stance
+        r0 = 12 + 3 * l
+        d_eul, d_q = foot_jacobian_analytic(pos, eul, qd[l], l)
+        blk = jnp.zeros((3, 24), dtype)
+        blk = blk.at[:, 0:3].set(d_eul)
+        blk = blk.at[:, 3:6].set(jnp.eye(3, dtype=dtype))
+        blk = blk.at[:, r0:r0 + 3].set(d_q)
+        blk = blk.at[2, :].set(0.0)               # cmap = diag(1,1,0)
+        ident = jnp.zeros((3, 24), dtype).at[:, r0:r0 + 3].set(
+            jnp.eye(3, dtype=dtype))
+        rows = keep * ident + to_stance * blk     # to_swing -> zero rows
+        Px = Px.at[r0:r0 + 3, :].set(rows)
+    return Px
+
+
+def reset_map_jacobian_ad(x, c_cur, c_next):
+    """jacfwd reference implementation (used in tests)."""
     return jax.jacfwd(lambda xx: reset_map(xx, c_cur, c_next))(x)
 
 

@@ -34,10 +34,11 @@ def _replace(obj, **kw):
     return dataclasses.replace(obj, **kw)
 
 
-def update_al_params(constr: ConstraintState, h_all, td_mask, term_mask,
+def update_al_params(constr: ConstraintState, h_all, term_mask,
                      tconstr_thresh, update_penalty) -> ConstraintState:
-    """AL multiplier/penalty schedule (ConstraintsBase.h:349-365)."""
-    h = h_all * td_mask * term_mask[:, None]
+    """AL multiplier/penalty schedule (ConstraintsBase.h:349-365).
+    h_all rows are already masked by the model's terminal-constraint masks."""
+    h = h_all * term_mask[:, None]
     habs = jnp.abs(h)
     skip = habs < tconstr_thresh
     grow = jnp.logical_and(jnp.logical_not(skip), habs > 0.005)
@@ -65,13 +66,16 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 
 
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
-          parallel_rollout: bool = False) -> SolveResult:
-    """Run one full HS-DDP solve. `opt` is static (python) configuration —
-    iteration caps, thresholds and toggles are baked into the compiled solver;
-    use separate jit instances for cold-solve vs runtime caps.
+          parallel_rollout: bool = False, model=None) -> SolveResult:
+    """Run one full HS-DDP solve. `opt` and `model` are static (python)
+    configuration — iteration caps, thresholds, toggles, and the model's
+    cost/constraint terms are baked into the compiled solver; use separate
+    jit instances for cold-solve vs runtime caps.
 
     parallel_rollout (static): use the scan-free rollout — only valid when
     every active node is a shooting node (HKDProblem.all_shooting())."""
+    from hkdmpc_tpu.solver.model_api import hkd_model_spec
+    model = model or hkd_model_spec()
     dtype = prob.xr.dtype
     ms, al_on, reb_on = bool(opt.MS), bool(opt.AL_active), bool(opt.ReB_active)
     eps_candidates = jnp.asarray(opt.line_search_epsilons, dtype)
@@ -79,12 +83,14 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     last_node = ro_mod.last_active_node(prob)
 
     if parallel_rollout and ms:
-        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout_parallel(prob, st, eps)
+        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout_parallel(
+            prob, st, eps, model)
     else:
-        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout(prob, st, eps, ms)
+        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout(
+            prob, st, eps, ms, model)
 
     def cost_of(X, U, constr):
-        return ro_mod.compute_cost(prob, X, U, constr, reb_on, al_on)
+        return ro_mod.compute_cost(prob, X, U, constr, reb_on, al_on, model)
 
     # ---- initial nominal rollout (MultiPhaseDDP.cpp:257-280) -------------
     ro = rollout_fn(state, 0.0)
@@ -135,7 +141,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         feas = ro_mod.dynamics_feasibility(prob, c["defect"])
 
         lqd = lq_mod.lq_approximation(prob, c["X"], c["U"], st.constr,
-                                      reb_on, al_on)
+                                      reb_on, al_on, model)
         dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \
             backward.backward_sweep_regularized(
                 prob, lqd, c["defect"], reg, opt.update_regularization,
@@ -221,7 +227,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         constr = c["state"].constr
         if al_on:
             constr_new = update_al_params(
-                constr, c["h"], prob.td_mask, prob.term_mask,
+                constr, c["h"], prob.term_mask,
                 opt.tconstr_thresh, opt.update_penalty)
         else:
             constr_new = constr
@@ -258,9 +264,10 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 
 
 # jitted entry point: one compiled instance per (option set, problem shape)
-solve_jit = jax.jit(solve, static_argnames=("opt", "parallel_rollout"))
+solve_jit = jax.jit(solve,
+                    static_argnames=("opt", "parallel_rollout", "model"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes
 solve_batch = jax.jit(
-    jax.vmap(solve, in_axes=(0, 0, None, None)),
-    static_argnames=("opt", "parallel_rollout"))
+    jax.vmap(solve, in_axes=(0, 0, None, None, None)),
+    static_argnames=("opt", "parallel_rollout", "model"))

@@ -8,7 +8,12 @@ plus per-terminal-node terminal-cost partials with AL folded in
 
 Everything is one vmap over transitions + one vmap over nodes — the
 derivative stage has no sequential dependency at all (the reference's
-biggest hot loop becomes embarrassingly parallel).
+biggest hot loop becomes embarrassingly parallel). The cost/constraint terms
+come from the ModelSpec, so user models plug in without touching this file.
+
+Note the ReB Gauss-Newton Hessians intentionally omit the u-x cross term,
+exactly as the reference does (ConstraintsBase.h:224-263 computes hess_u /
+hess_x separately and never a hess_ux).
 """
 
 from __future__ import annotations
@@ -17,35 +22,40 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from hkdmpc_tpu.models import hkd
 from hkdmpc_tpu.solver import costs
+from hkdmpc_tpu.solver.rollout import _default_model, run_ctx, term_ctx
 from hkdmpc_tpu.solver.structs import DYN, RESET, LQData, ProblemData
 
 
 def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
-                     al_active: bool) -> LQData:
+                     al_active: bool, model=None) -> LQData:
+    model = model or _default_model()
     dtype = X.dtype
 
     def per_transition(t):
         x, u = X[t], U[t]
         kind = prob.kind[t]
+        ctx = run_ctx(prob, t)
 
         def dyn_branch(_):
-            A, B = hkd.dynamics_jacobians_analytic(x, u, prob.contact[t],
-                                                   prob.dt)
-            lx, lu, lxx, luu, lux = costs.running_cost_partials(
-                x, u, prob.contact[t], prob.xr[t], prob.ur[t],
-                prob.foot_r[t], prob.dt)
-            if reb_active:
-                lu_add, luu_add = costs.grf_reb_partials(
-                    u, prob.contact[t], constr.reb_delta[t],
-                    constr.reb_eps[t], prob.dt)
-                lu = lu + lu_add
-                luu = luu + luu_add
+            A, B = model.dynamics_jacobians(x, u, prob.contact[t], prob.dt)
+            lx, lu, lxx, luu, lux = model.running_cost_partials(x, u, ctx)
+            if reb_active and model.n_path_rows:
+                g, row_mask = model.path_violations(x, u, ctx)
+                gx, gu = model.path_jacobians(x, u, ctx)
+                d1, d2 = costs.reb_derivs(g, constr.reb_delta[t],
+                                          constr.reb_eps[t])
+                d1 = row_mask * d1
+                d2 = row_mask * d2
+                lx = lx + prob.dt * gx.T @ d1
+                lu = lu + prob.dt * gu.T @ d1
+                lxx = lxx + prob.dt * gx.T @ (d2[:, None] * gx)
+                luu = luu + prob.dt * gu.T @ (d2[:, None] * gu)
             return A, B, lx, lu, lxx, luu, lux
 
         def reset_branch(_):
-            Px = hkd.reset_map_jacobian(x, prob.contact[t], prob.contact_next[t])
+            Px = model.reset_map_jacobian(x, prob.contact[t],
+                                          prob.contact_next[t])
             z, Z = jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype)
             return Px, Z, z, z, Z, Z, Z
 
@@ -59,14 +69,16 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
 
     def per_node(j):
         x = X[j]
-        phix, phixx = costs.terminal_cost_partials(
-            x, prob.term_contact[j], prob.xr[j], prob.foot_r[j])
-        if al_active:
-            h = costs.touchdown_violations(x, prob.td_mask[j])
-            ax, axx = costs.al_partials(x, h, constr.al_lambda[j],
-                                        constr.al_sigma[j], prob.td_mask[j])
-            phix = phix + ax
-            phixx = phixx + axx
+        ctx = term_ctx(prob, j)
+        phix, phixx = model.terminal_cost_partials(x, ctx)
+        if al_active and model.n_terminal_rows:
+            h, h_mask = model.terminal_violations(x, ctx)
+            hx = model.terminal_jacobians(x, ctx)
+            sig, lam = constr.al_sigma[j], constr.al_lambda[j]
+            w1 = h_mask * (sig * h + lam)
+            w2 = h_mask * (sig * (1.0 + h) + lam)
+            phix = phix + hx.T @ w1
+            phixx = phixx + hx.T @ (w2[:, None] * hx)
         m = prob.term_mask[j]
         return m * phix, m * phixx
 

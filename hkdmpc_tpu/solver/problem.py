@@ -53,7 +53,7 @@ class Phase:
     al_lambda: np.ndarray = None     # (4,)
     al_sigma: np.ndarray = None      # (4,)
 
-    def alloc(self, cparams: ConstraintParams):
+    def alloc(self, pb: "HKDProblem"):
         h = self.horizon
         self.Xbar = np.zeros((h + 1, 24))
         self.Ubar = np.zeros((h, 24))
@@ -61,10 +61,11 @@ class Phase:
         self.K = np.zeros((h, 24, 24))
         self.dX = np.zeros((h + 1, 24))
         self.defect_bar = np.zeros((h + 1, 24))
-        self.reb_delta = np.full((h, 20), cparams.grf_reb.delta)
-        self.reb_eps = np.full((h, 20), cparams.grf_reb.eps)
-        self.al_lambda = np.zeros(4)
-        self.al_sigma = np.zeros(4)
+        deltas, _, epss = pb._reb_row_params()
+        self.reb_delta = np.tile(deltas, (h, 1))
+        self.reb_eps = np.tile(epss, (h, 1))
+        self.al_lambda = np.zeros(pb.n_term_rows)
+        self.al_sigma = np.zeros(pb.n_term_rows)
         self.td_mask = np.zeros(4)
         self.next_contact = self.contact.copy()
 
@@ -76,7 +77,9 @@ class HKDProblem:
     def __init__(self, quad_ref: QuadReference, plan_duration: float = 0.6,
                  dt_sim: float = 0.01, dt_mpc: float = 0.01,
                  cparams: Optional[ConstraintParams] = None,
-                 T: Optional[int] = None, dtype=jnp.float64):
+                 T: Optional[int] = None, dtype=jnp.float64, model=None):
+        from hkdmpc_tpu.solver.model_api import hkd_model_spec
+        self.model = model or hkd_model_spec()
         self.ref = quad_ref
         self.plan_duration = plan_duration
         self.dt_sim = dt_sim
@@ -87,6 +90,28 @@ class HKDProblem:
         n_steps = int(round(plan_duration / dt_sim))
         # margin for phase boundaries (realistic gaits: <= ~8 phases/horizon)
         self.T = T if T is not None else n_steps + 15
+
+    # per-row ReB/AL parameter vectors from the model's constraint terms,
+    # keyed by term name (HKDProblem::loadConstrintParameters analog)
+    def _reb_row_params(self):
+        deltas, delta_mins, epss = [], [], []
+        for c in self.model.path_constraints:
+            p = {"GRF": self.cparams.grf_reb,
+                 "Swing": self.cparams.swing_reb}.get(c.name)
+            d, dm, e = ((p.delta, p.delta_min, p.eps) if p
+                        else (0.01, 0.001, 1.0))
+            deltas += [d] * c.n_rows
+            delta_mins += [dm] * c.n_rows
+            epss += [e] * c.n_rows
+        return (np.asarray(deltas), np.asarray(delta_mins), np.asarray(epss))
+
+    @property
+    def n_path_rows(self):
+        return self.model.n_path_rows
+
+    @property
+    def n_term_rows(self):
+        return self.model.n_terminal_rows
 
     # ------------------------------------------------------------------
     # initialization (parity: HKDProblem.cpp:14-111)
@@ -108,7 +133,7 @@ class HKDProblem:
                 ph = Phase(start_time=phase_start, end_time=t, horizon=horizon,
                            contact=contact_prev.astype(int).copy(),
                            contact_duration=contact_dur.copy())
-                ph.alloc(self.cparams)
+                ph.alloc(self)
                 self.phases.append(ph)
                 contact_prev = contact_cur.copy()
                 contact_dur = ref.contact_duration_at_t(t).copy()
@@ -149,8 +174,8 @@ class HKDProblem:
         ph.td_mask = td
         ph.has_tconstr = True
         if td.any():
-            ph.al_lambda = np.full(4, self.cparams.td_al.lambda_)
-            ph.al_sigma = np.full(4, self.cparams.td_al.sigma)
+            ph.al_lambda = np.full(self.n_term_rows, self.cparams.td_al.lambda_)
+            ph.al_sigma = np.full(self.n_term_rows, self.cparams.td_al.sigma)
 
     # ------------------------------------------------------------------
     # receding-horizon update (parity: HKDProblem.cpp:116-222)
@@ -183,7 +208,7 @@ class HKDProblem:
                            horizon=h_new, contact=new_contact.copy(),
                            contact_duration=ref.contact_duration_at_t(
                                new_end - new_start).copy())
-                ph.alloc(self.cparams)  # new phases warm-start at zero
+                ph.alloc(self)  # new phases warm-start at zero
                 self.phases.append(ph)
             else:
                 back.end_time = new_end
@@ -222,12 +247,30 @@ class HKDProblem:
             ph.reb_delta = np.vstack([ph.reb_delta, ph.reb_delta[-1:]])
             ph.reb_eps = np.vstack([ph.reb_eps, ph.reb_eps[-1:]])
         else:
-            ph.reb_delta = np.full((1, 20), self.cparams.grf_reb.delta)
-            ph.reb_eps = np.full((1, 20), self.cparams.grf_reb.eps)
+            deltas, _, epss = self._reb_row_params()
+            ph.reb_delta = np.tile(deltas, (1, 1))
+            ph.reb_eps = np.tile(epss, (1, 1))
 
     # ------------------------------------------------------------------
     # flattening
     # ------------------------------------------------------------------
+
+    def pretty_print(self):
+        """Phase-schedule table (HKDProblem::pretty_print analog,
+        HKDProblem.cpp:313-358 — plain text instead of vendored tabulate)."""
+        hdr = ("idx", "horizon", "start", "end", "contact", "durations")
+        rows = [(str(i), str(ph.horizon), f"{ph.start_time:.3f}",
+                 f"{ph.end_time:.3f}", " ".join(map(str, ph.contact)),
+                 " ".join(f"{d:.2f}" for d in ph.contact_duration))
+                for i, ph in enumerate(self.phases)]
+        widths = [max(len(r[c]) for r in [hdr] + rows) for c in range(len(hdr))]
+        line = " | ".join(h.ljust(w) for h, w in zip(hdr, widths))
+        print(f"Plan duration {self.plan_duration}  dt_sim {self.dt_sim}  "
+              f"dt_mpc {self.dt_mpc}")
+        print(line)
+        print("-" * len(line))
+        for r in rows:
+            print(" | ".join(v.ljust(w) for v, w in zip(r, widths)))
 
     def all_shooting(self) -> bool:
         """True when every phase's nodes are shooting nodes — enables the
@@ -264,10 +307,12 @@ class HKDProblem:
         K = np.zeros((T, 24, 24))
         dX = np.zeros((T + 1, 24))
         defect_bar = np.zeros((T + 1, 24))
-        reb_delta = np.full((T, 20), self.cparams.grf_reb.delta)
-        reb_eps = np.full((T, 20), self.cparams.grf_reb.eps)
-        al_lambda = np.zeros((T + 1, 4))
-        al_sigma = np.zeros((T + 1, 4))
+        n_pr, n_tr = self.n_path_rows, self.n_term_rows
+        deltas, delta_mins, epss = self._reb_row_params()
+        reb_delta = np.tile(deltas, (T, 1))
+        reb_eps = np.tile(epss, (T, 1))
+        al_lambda = np.zeros((T + 1, n_tr))
+        al_sigma = np.zeros((T + 1, n_tr))
 
         t_idx = 0  # transition cursor; node j = t_idx
         self._node_map = []  # (phase, local node) per flat node, for unflatten
@@ -330,11 +375,12 @@ class HKDProblem:
         )
         constr = ConstraintState(
             reb_delta=jnp.asarray(reb_delta, dtype),
-            reb_delta_min=jnp.full((T, 20), self.cparams.grf_reb.delta_min, dtype),
+            reb_delta_min=jnp.asarray(np.tile(delta_mins, (T, 1)), dtype),
             reb_eps=jnp.asarray(reb_eps, dtype),
             al_lambda=jnp.asarray(al_lambda, dtype),
             al_sigma=jnp.asarray(al_sigma, dtype),
-            al_sigma_max=jnp.full((T + 1, 4), self.cparams.td_al.sigma_max, dtype),
+            al_sigma_max=jnp.full((T + 1, n_tr), self.cparams.td_al.sigma_max,
+                                  dtype),
         )
         state = SolverState(
             Xbar=jnp.asarray(Xbar, dtype), Ubar=jnp.asarray(Ubar, dtype),

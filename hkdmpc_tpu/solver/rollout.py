@@ -27,8 +27,27 @@ from hkdmpc_tpu.solver.structs import (DYN, PAD, RESET, LQData, ProblemData,
 DIVERGE_NORM = 1e6  # reference: SinglePhase.cpp:205-208
 
 
+def _default_model():
+    from hkdmpc_tpu.solver.model_api import hkd_model_spec
+    return hkd_model_spec()
+
+
+def run_ctx(prob: ProblemData, t):
+    """Per-transition context for cost/constraint terms (source node t)."""
+    return {"contact": prob.contact[t], "xr": prob.xr[t], "ur": prob.ur[t],
+            "foot_r": prob.foot_r[t], "dt": prob.dt,
+            "term_contact": prob.term_contact[t], "td_mask": prob.td_mask[t]}
+
+
+def term_ctx(prob: ProblemData, j):
+    """Per-node context for terminal cost/constraint terms."""
+    return {"contact": prob.term_contact[j], "xr": prob.xr[j],
+            "ur": prob.ur[j], "foot_r": prob.foot_r[j], "dt": prob.dt,
+            "term_contact": prob.term_contact[j], "td_mask": prob.td_mask[j]}
+
+
 def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
-                   ms: bool = True) -> Rollout:
+                   ms: bool = True, model=None) -> Rollout:
     """Roll the hybrid system forward at step size eps.
 
     carry = (x_node, xsim_node): the optimization node state and the pure
@@ -38,6 +57,7 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
     With multiple shooting off, only phase-*start* nodes shoot — an exact
     replication of the reference's asymmetric check (SinglePhase.cpp:187-220).
     """
+    model = model or _default_model()
     T = prob.T
     dtype = prob.xr.dtype
     eps = jnp.asarray(eps, dtype)
@@ -55,12 +75,13 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
         def dyn_branch(_):
             u = (state.Ubar[t] + eps * state.dU[t]
                  + state.K[t] @ (x - state.Xbar[t]))
-            xsim_next = hkd.dynamics(x, u, prob.contact[t], prob.dt)
+            xsim_next = model.dynamics(x, u, prob.contact[t], prob.dt)
             return xsim_next, xsim_next, u
 
         def reset_branch(_):
-            xr_next = hkd.reset_map(x, prob.contact[t], prob.contact_next[t])
-            xsim_next = hkd.reset_map(xsim, prob.contact[t], prob.contact_next[t])
+            xr_next = model.reset_map(x, prob.contact[t], prob.contact_next[t])
+            xsim_next = model.reset_map(xsim, prob.contact[t],
+                                        prob.contact_next[t])
             return xr_next, xsim_next, jnp.zeros(24, dtype)
 
         def pad_branch(_):
@@ -90,7 +111,7 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
 
 
 def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
-                            eps) -> Rollout:
+                            eps, model=None) -> Rollout:
     """Scan-free hybrid rollout — valid when every active node is a shooting
     node (the default: update_SS_config makes all nodes shooting).
 
@@ -102,6 +123,7 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
     transition). The horizon-sequential loop of the reference
     (SinglePhase.cpp:197-224) disappears entirely.
     """
+    model = model or _default_model()
     T = prob.T
     dtype = prob.xr.dtype
     eps = jnp.asarray(eps, dtype)
@@ -110,12 +132,13 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
     U = state.Ubar + eps * (state.dU
                             + jnp.einsum("tij,tj->ti", state.K, state.dX[:-1]))
 
-    sim = hkd.dynamics_vmap_steps(X[:-1], U, prob.contact, prob.dt)  # (T,24)
+    sim = jax.vmap(model.dynamics, in_axes=(0, 0, 0, None))(
+        X[:-1], U, prob.contact, prob.dt)                          # (T,24)
 
     # reset transitions: source sim state = sim output of transition t-1
     sim_prev = jnp.concatenate([prob.x0[None], sim[:-1]], axis=0)
-    reset_out = jax.vmap(hkd.reset_map)(sim_prev, prob.contact,
-                                        prob.contact_next)
+    reset_out = jax.vmap(model.reset_map)(sim_prev, prob.contact,
+                                          prob.contact_next)
 
     is_dyn = (prob.kind == DYN)
     is_reset = (prob.kind == RESET)
@@ -147,39 +170,39 @@ def dynamics_feasibility(prob: ProblemData, defect, norm_id: int = 2):
 
 
 def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
-                 al_active: bool):
-    """Total actual cost = running (tracking + foot reg [+ ReB]) + terminal
-    (tracking + foot reg [+ AL]).
+                 al_active: bool, model=None):
+    """Total actual cost = running terms [+ ReB barrier] + terminal terms
+    [+ AL penalty], aggregated over the model's cost/constraint terms.
 
-    Returns (cost, aux) where aux carries the constraint violations of this
-    trajectory: g (T,20) path, h (T+1,4) touchdown.
+    Returns (cost, (g_all (T, n_path), h_all (T+1, n_term))) — the
+    constraint violations of this trajectory (masked rows read as satisfied).
     """
-    dtype = X.dtype
+    model = model or _default_model()
     is_dyn = prob.is_dyn
 
     def run_one(t):
         x, u = X[t], U[t]
-        l = costs.running_cost(x, u, prob.contact[t], prob.xr[t], prob.ur[t],
-                               prob.foot_r[t], prob.dt)
-        g, row_mask = costs.grf_constraints(u, prob.contact[t], dtype)
-        l_reb = prob.dt * jnp.sum(
-            row_mask * costs.reb_value(g, constr.reb_delta[t], constr.reb_eps[t]))
-        if reb_active:
-            l = l + l_reb
-        return l, g * row_mask + (1.0 - row_mask)  # masked rows read as satisfied
+        ctx = run_ctx(prob, t)
+        l = model.running_cost(x, u, ctx)
+        g, row_mask = model.path_violations(x, u, ctx)
+        if reb_active and model.n_path_rows:
+            l = l + prob.dt * jnp.sum(
+                row_mask * costs.reb_value(g, constr.reb_delta[t],
+                                           constr.reb_eps[t]))
+        return l, g * row_mask + (1.0 - row_mask)
 
     run_l, g_all = jax.vmap(run_one)(jnp.arange(prob.T))
     total = jnp.sum(is_dyn * run_l)
 
     def term_one(j):
         x = X[j]
-        phi = costs.terminal_cost(x, prob.term_contact[j], prob.xr[j],
-                                  prob.foot_r[j])
-        h = costs.touchdown_violations(x, prob.td_mask[j])
-        if al_active:
-            phi = phi + costs.al_cost(h, constr.al_lambda[j],
-                                      constr.al_sigma[j], prob.td_mask[j])
-        return phi, h
+        ctx = term_ctx(prob, j)
+        phi = model.terminal_cost(x, ctx)
+        h, h_mask = model.terminal_violations(x, ctx)
+        if al_active and model.n_terminal_rows:
+            phi = phi + jnp.sum(h_mask * (
+                0.5 * constr.al_sigma[j] * h * h + constr.al_lambda[j] * h))
+        return phi, h * h_mask
 
     term_phi, h_all = jax.vmap(term_one)(jnp.arange(prob.T + 1))
     total = total + jnp.sum(prob.term_mask * term_phi)
@@ -190,10 +213,16 @@ def max_violations(prob: ProblemData, g_all, h_all):
     """(max_pconstr <= 0, max_tconstr >= 0) — parity with
     ConstraintContainer::get_max_pconstrs/get_max_tconstrs."""
     is_dyn = prob.is_dyn
-    g_eff = jnp.where(is_dyn[:, None] > 0, g_all, 0.0)
-    max_p = jnp.minimum(0.0, jnp.min(g_eff))
-    h_eff = jnp.abs(h_all) * prob.term_mask[:, None] * prob.td_mask
-    max_t = jnp.maximum(0.0, jnp.max(h_eff))
+    if g_all.shape[-1]:
+        g_eff = jnp.where(is_dyn[:, None] > 0, g_all, 0.0)
+        max_p = jnp.minimum(0.0, jnp.min(g_eff))
+    else:
+        max_p = jnp.zeros((), h_all.dtype)
+    if h_all.shape[-1]:
+        h_eff = jnp.abs(h_all) * prob.term_mask[:, None]
+        max_t = jnp.maximum(0.0, jnp.max(h_eff))
+    else:
+        max_t = jnp.zeros((), g_all.dtype)
     return max_p, max_t
 
 
