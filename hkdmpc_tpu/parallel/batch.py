@@ -28,6 +28,27 @@ def make_mesh(devices=None, axis: str = "scenario") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def init_multihost(coordinator: str = None, num_processes: int = None,
+                   process_id: int = None):
+    """Initialize multi-host (DCN) execution: each host contributes its local
+    chips; scenario shards ride ICI within a host and only metric scalars
+    cross DCN. Call before any other JAX API on every host.
+
+    With no arguments, uses the cluster's auto-detected environment
+    (TPU pod metadata / JAX_COORDINATOR_ADDRESS)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
+def host_local_batch(global_batch: int) -> int:
+    """Per-host slice of a global scenario batch (data-parallel layout)."""
+    return global_batch // jax.process_count()
+
+
 def replicate_problem(prob: ProblemData, state: SolverState, batch: int):
     """Tile a single problem/state along a new leading scenario axis."""
     tile = lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape)

@@ -103,6 +103,53 @@ def from_preprocessed(dirname: str, out_path: str, mass: float = 9.0,
         induce_status_durations(contacts, dt))
 
 
+def from_post_csv(dirname: str, out_path: str, mass: float = 9.0,
+                  g: float = 10.0) -> str:
+    """Convert a gaitLib-style pair (state_post.csv + contact_post.csv) into
+    quad_reference.csv.
+
+    state_post rows: [phase_idx, eul(3), pos(3), omega(3), v(3),
+    per-leg(12)] where per-leg holds joint angles for swing legs and
+    *CoM-relative* foot positions for stance legs (the HKD qdummy
+    convention). contact_post rows: [c(4), startTime, endTime, horizon].
+    """
+    states = np.loadtxt(os.path.join(dirname, "state_post.csv"),
+                        delimiter=",")
+    with open(os.path.join(dirname, "contact_post.csv")) as f:
+        lines = [l for l in f.read().splitlines()[1:] if l.strip()]
+    phases = []
+    for l in lines:
+        vals = [float(w) for w in l.replace(",", " ").split()]
+        phases.append(dict(contact=np.array(vals[:4], int),
+                           start=vals[4], end=vals[5], horizon=int(vals[6])))
+    dt = round((phases[0]["end"] - phases[0]["start"]) / phases[0]["horizon"], 6)
+
+    n = states.shape[0]
+    body = states[:, 1:13]
+    legdata = states[:, 13:25]
+    phase_idx = states[:, 0].astype(int)
+    contacts = np.zeros((n, 4), int)
+    for k in range(n):
+        contacts[k] = phases[min(phase_idx[k], len(phases) - 1)]["contact"]
+
+    qJ = np.zeros((n, 12))
+    fp = np.zeros((n, 12))
+    for k in range(n):
+        pos, eul = body[k, 3:6], body[k, 0:3]
+        for leg in range(4):
+            d = legdata[k, 3 * leg:3 * leg + 3]
+            if contacts[k, leg]:
+                pf_world = pos + d
+                fp[k, 3 * leg:3 * leg + 3] = pf_world
+                qJ[k, 3 * leg:3 * leg + 3] = foot_ik(pos, eul, pf_world, leg)
+            else:
+                qJ[k, 3 * leg:3 * leg + 3] = d
+    write_quad_reference(out_path, dt, body, qJ, fp,
+                         grf_heuristic(contacts, mass, g), np.zeros((n, 12)),
+                         contacts, induce_status_durations(contacts, dt))
+    return out_path
+
+
 # ---------------------------------------------------------------------------
 # closed-form leg kinematics (inverse of models.hkd.leg_forward_kinematics)
 # ---------------------------------------------------------------------------
