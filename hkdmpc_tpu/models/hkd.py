@@ -72,7 +72,7 @@ def foot_position(pos, eul, qleg, leg):
     """
     R = euler_zyx_to_rotmat(eul)
     hip = jnp.asarray(mc.HIP_OFFSETS[leg], dtype=pos.dtype)
-    p_hip = leg_forward_kinematics(qleg, mc.SIDE_SIGNS[leg])
+    p_hip = leg_forward_kinematics(qleg, float(mc.SIDE_SIGNS[leg]))
     return pos + R @ (hip + p_hip)
 
 
@@ -122,9 +122,9 @@ def foot_jacobian_analytic(pos, eul, qleg, leg):
     kernels to machine precision (tests/test_dynamics_golden.py)."""
     R, dRy_, dRp_, dRr_ = _euler_zyx_rotmat_derivs(eul)
     p = jnp.asarray(mc.HIP_OFFSETS[leg], eul.dtype) + leg_forward_kinematics(
-        qleg, mc.SIDE_SIGNS[leg])
+        qleg, float(mc.SIDE_SIGNS[leg]))
     d_eul = jnp.stack([dRy_ @ p, dRp_ @ p, dRr_ @ p], axis=1)
-    d_q = R @ leg_jacobian(qleg, mc.SIDE_SIGNS[leg])
+    d_q = R @ leg_jacobian(qleg, float(mc.SIDE_SIGNS[leg]))
     return d_eul, d_q
 
 

@@ -1,0 +1,65 @@
+"""Checkpoint / resume of MPC warm-start state.
+
+The reference has no checkpointing; its analog is the in-memory warm start
+living inside HKDProblemData across MPC iterations (SURVEY §5). For a
+production service, that state (phase structure + nominal trajectories +
+gains + AL/ReB multipliers + reference window position) is exactly what must
+survive a restart — this module persists and restores it via a single .npz.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+
+_PHASE_ARRAYS = ("Xbar", "Ubar", "dU", "K", "dX", "defect_bar", "reb_delta",
+                 "reb_eps", "al_lambda", "al_sigma", "td_mask")
+_PHASE_SCALARS = ("start_time", "end_time", "horizon", "reach_end",
+                  "has_tconstr")
+
+
+def save_problem(path: str, pb) -> None:
+    arrays = {}
+    meta = {"n_phases": len(pb.phases), "k_cur": pb.ref.k_cur,
+            "plan_duration": pb.plan_duration, "dt_sim": pb.dt_sim,
+            "dt_mpc": pb.dt_mpc, "T": pb.T,
+            "phases": []}
+    for i, ph in enumerate(pb.phases):
+        meta["phases"].append({
+            "start_time": ph.start_time, "end_time": ph.end_time,
+            "horizon": ph.horizon, "reach_end": bool(ph.reach_end),
+            "has_tconstr": bool(ph.has_tconstr)})
+        for name in _PHASE_ARRAYS:
+            arrays[f"p{i}_{name}"] = np.asarray(getattr(ph, name))
+        arrays[f"p{i}_contact"] = np.asarray(ph.contact)
+        arrays[f"p{i}_next_contact"] = np.asarray(ph.next_contact)
+        arrays[f"p{i}_contact_duration"] = np.asarray(ph.contact_duration)
+    arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_problem(path: str, pb) -> None:
+    """Restore phase structure + warm-start state into an HKDProblem built
+    against the same reference file."""
+    from hkdmpc_tpu.solver.problem import Phase
+
+    data = np.load(path)
+    meta = json.loads(bytes(data["_meta"]).decode())
+    pb.ref.initialize(meta["plan_duration"])
+    pb.ref.k_cur = meta["k_cur"]
+    pb.plan_duration = meta["plan_duration"]
+    pb.T = meta["T"]
+    pb.phases = []
+    for i, pm in enumerate(meta["phases"]):
+        ph = Phase(start_time=pm["start_time"], end_time=pm["end_time"],
+                   horizon=pm["horizon"],
+                   contact=data[f"p{i}_contact"],
+                   contact_duration=data[f"p{i}_contact_duration"])
+        ph.reach_end = pm["reach_end"]
+        ph.has_tconstr = pm["has_tconstr"]
+        ph.next_contact = data[f"p{i}_next_contact"]
+        for name in _PHASE_ARRAYS:
+            setattr(ph, name, data[f"p{i}_{name}"].copy())
+        pb.phases.append(ph)
