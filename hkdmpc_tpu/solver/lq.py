@@ -32,6 +32,11 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
     model = model or _default_model()
     dtype = X.dtype
 
+    fast_ab = getattr(model, "build_AB_tminor", None)
+    if fast_ab is not None:
+        return _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model,
+                           fast_ab)
+
     def per_transition(t):
         x, u = X[t], U[t]
         kind = prob.kind[t]
@@ -66,6 +71,55 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
         return lax.switch(kind, [pad_branch, dyn_branch, reset_branch], None)
 
     A, B, lx, lu, lxx, luu, lux = jax.vmap(per_transition)(jnp.arange(prob.T))
+
+    def per_node(j):
+        x = X[j]
+        ctx = term_ctx(prob, j)
+        phix, phixx = model.terminal_cost_partials(x, ctx)
+        if al_active and model.n_terminal_rows:
+            h, h_mask = model.terminal_violations(x, ctx)
+            hx = model.terminal_jacobians(x, ctx)
+            sig, lam = constr.al_sigma[j], constr.al_lambda[j]
+            w1 = h_mask * (sig * h + lam)
+            w2 = h_mask * (sig * (1.0 + h) + lam)
+            phix = phix + hx.T @ w1
+            phixx = phixx + hx.T @ (w2[:, None] * hx)
+        m = prob.term_mask[j]
+        return m * phix, m * phixx
+
+    phix, phixx = jax.vmap(per_node)(jnp.arange(prob.T + 1))
+    return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
+                  phix=phix, phixx=phixx)
+
+
+def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
+    """LQ with the model's T-minor A/B builder (ops/jac_tminor.py): the
+    dynamics/reset jacobians assemble horizon-minor in one pass; the cost
+    partial stages stay per-transition vmaps with masks instead of a switch
+    (numerically identical to the generic path; tested)."""
+    dtype = X.dtype
+    A, B = fast_ab(prob, X, U)
+    is_dyn = prob.is_dyn
+
+    def cost_partials(t):
+        x, u = X[t], U[t]
+        ctx = run_ctx(prob, t)
+        lx, lu, lxx, luu, lux = model.running_cost_partials(x, u, ctx)
+        if reb_active and model.n_path_rows:
+            g, row_mask = model.path_violations(x, u, ctx)
+            gx, gu = model.path_jacobians(x, u, ctx)
+            d1, d2 = costs.reb_derivs(g, constr.reb_delta[t],
+                                      constr.reb_eps[t])
+            d1 = row_mask * d1
+            d2 = row_mask * d2
+            lx = lx + prob.dt * gx.T @ d1
+            lu = lu + prob.dt * gu.T @ d1
+            lxx = lxx + prob.dt * gx.T @ (d2[:, None] * gx)
+            luu = luu + prob.dt * gu.T @ (d2[:, None] * gu)
+        m = is_dyn[t]
+        return m * lx, m * lu, m * lxx, m * luu, m * lux
+
+    lx, lu, lxx, luu, lux = jax.vmap(cost_partials)(jnp.arange(prob.T))
 
     def per_node(j):
         x = X[j]

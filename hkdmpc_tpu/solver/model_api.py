@@ -95,6 +95,7 @@ class ModelSpec:
         self.terminal_constraints = tuple(terminal_constraints)
         self.xs = xs
         self.us = us
+        self.build_AB_tminor = None  # optional horizon-minor A/B fast path
 
     @property
     def n_path_rows(self) -> int:
@@ -288,6 +289,7 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     path = [GRFConstraint()]
     if swing_constraint:
         path.append(SwingHeightConstraint())
+    from hkdmpc_tpu.ops.jac_tminor import build_AB_tminor
     spec = ModelSpec(
         dynamics=hkd.dynamics,
         dynamics_jacobians=hkd.dynamics_jacobians_analytic,
@@ -297,6 +299,8 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
         path_constraints=path,
         terminal_constraints=[TouchDownConstraint()],
     )
+    # horizon-minor fast path for the LQ dynamics/reset jacobians
+    spec.build_AB_tminor = build_AB_tminor
     if not swing_constraint:
         _DEFAULT = spec
     return spec

@@ -43,6 +43,26 @@ def test_parallel_rollout_matches_scan():
         assert bool(a.success) == bool(b.success)
 
 
+def test_lq_tminor_matches_generic():
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    from hkdmpc_tpu.solver.model_api import hkd_model_spec, ModelSpec
+    fast = hkd_model_spec()
+    slow = ModelSpec(
+        dynamics=fast.dynamics, dynamics_jacobians=fast.dynamics_jacobians,
+        reset_map=fast.reset_map, reset_map_jacobian=fast.reset_map_jacobian,
+        cost_terms=fast.cost_terms, path_constraints=fast.path_constraints,
+        terminal_constraints=fast.terminal_constraints)
+    assert fast.build_AB_tminor is not None and slow.build_AB_tminor is None
+    a = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True,
+                                fast)
+    b = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True,
+                                slow)
+    for name in ("A", "B", "lx", "lu", "lxx", "luu", "lux", "phix", "phixx"):
+        np.testing.assert_allclose(getattr(a, name), getattr(b, name),
+                                   atol=1e-11, err_msg=name)
+
+
 def test_solve_parallel_rollout_equivalent():
     pb, x0, opt = make_trot()
     prob, state = pb.build(x0)
