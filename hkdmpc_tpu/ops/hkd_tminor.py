@@ -1,0 +1,219 @@
+"""Horizon-minor (T-minor) evaluation core for the HKD model.
+
+Same trick as ops/jac_tminor.py, applied to the rollout dynamics, reset
+maps, and cost/constraint evaluation: every quantity is computed as (T,)
+entry vectors (horizon in the TPU lane dimension) and assembled with a
+single stack — instead of per-step 24-vectors whose minor dims pad 5x and
+whose assembly breaks fusion. Numerically identical to the per-step
+functions in models.hkd / solver.costs (equivalence-tested).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from hkdmpc_tpu.models import mini_cheetah as mc
+from hkdmpc_tpu.ops.jac_tminor import _leg_fk_entries, _rot_entries
+from hkdmpc_tpu.solver.structs import DYN, PAD, RESET
+
+
+def _body_pieces(Xs, U=None):
+    """Common entry vectors for states Xs (T,24) (and controls U (T,24))."""
+    col = lambda M, i: M[:, i]
+    eul = (col(Xs, 0), col(Xs, 1), col(Xs, 2))
+    R, dR, trig = _rot_entries(eul)
+    out = dict(
+        R=R, dR=dR, trig=trig,
+        px=col(Xs, 3), py=col(Xs, 4), pz=col(Xs, 5),
+        w=[col(Xs, 6), col(Xs, 7), col(Xs, 8)],
+        v=[col(Xs, 9), col(Xs, 10), col(Xs, 11)],
+        qd=[[col(Xs, 12 + 3 * l + j) for j in range(3)] for l in range(4)],
+    )
+    if U is not None:
+        out["f"] = [[col(U, 3 * l + j) for j in range(3)] for l in range(4)]
+        out["qJd"] = [[col(U, 12 + 3 * l + j) for j in range(3)]
+                      for l in range(4)]
+    return out
+
+
+def _foot_world_entries(p, leg):
+    """World foot position entries (3 x (T,)) for one leg from body pieces,
+    qdummy of that leg as joint angles."""
+    p_leg, _ = _leg_fk_entries(p["qd"][leg], leg)
+    hip = mc.HIP_OFFSETS[leg]
+    pf_hip = [p_leg[k] + hip[k] for k in range(3)]
+    R = p["R"]
+    pos = [p["px"], p["py"], p["pz"]]
+    return [pos[i] + sum(R[i][k] * pf_hip[k] for k in range(3))
+            for i in range(3)]
+
+
+def dynamics_tbatch(Xs, U, contact, dt):
+    """Per-step forward-Euler sims, all steps at once: (T,24) -> (T,24)."""
+    dtype = Xs.dtype
+    p = _body_pieces(Xs, U)
+    R = p["R"]
+    trig = p["trig"]
+    cp, sp = trig["cp"], trig["sp"]
+    cr, sr = trig["cr"], trig["sr"]
+    wx, wy, wz = p["w"]
+    c = [contact[:, l] for l in range(4)]
+
+    cols = [None] * 24
+    # euler rates (ZYX)
+    s_ = sr * wy + cr * wz
+    t_ = cr * wy - sr * wz
+    cols[0] = Xs[:, 0] + dt * (s_ / cp)
+    cols[1] = Xs[:, 1] + dt * t_
+    cols[2] = Xs[:, 2] + dt * (wx + s_ * sp / cp)
+    for i in range(3):
+        cols[3 + i] = Xs[:, 3 + i] + dt * p["v"][i]
+
+    r = [[p["qd"][l][0] - p["px"], p["qd"][l][1] - p["py"], -p["pz"]]
+         for l in range(4)]
+    m = [sum(c[l] * (r[l][(k + 1) % 3] * p["f"][l][(k + 2) % 3]
+                     - r[l][(k + 2) % 3] * p["f"][l][(k + 1) % 3])
+             for l in range(4)) for k in range(3)]
+    tau = [sum(R[k][i] * m[k] for k in range(3)) for i in range(3)]
+    Idg, Iinv = mc.INERTIA_DIAG, mc.INERTIA_INV_DIAG
+    Iw = [Idg[k] * p["w"][k] for k in range(3)]
+    wxIw = [p["w"][1] * Iw[2] - p["w"][2] * Iw[1],
+            p["w"][2] * Iw[0] - p["w"][0] * Iw[2],
+            p["w"][0] * Iw[1] - p["w"][1] * Iw[0]]
+    for i in range(3):
+        cols[6 + i] = Xs[:, 6 + i] + dt * (Iinv[i] * (tau[i] - wxIw[i]))
+
+    Fc = [sum(c[l] * p["f"][l][j] for l in range(4)) for j in range(3)]
+    g = [0.0, 0.0, mc.GRAVITY]
+    for i in range(3):
+        cols[9 + i] = Xs[:, 9 + i] + dt * (Fc[i] / mc.MASS - g[i])
+    for l in range(4):
+        for j in range(3):
+            cols[12 + 3 * l + j] = (Xs[:, 12 + 3 * l + j]
+                                    + dt * (1.0 - c[l]) * p["qJd"][l][j])
+    return jnp.stack(cols, axis=1).astype(dtype)
+
+
+def reset_tbatch(Xsrc, c_cur, c_next):
+    """Reset maps for all transitions at once: (T,24) -> (T,24)."""
+    dtype = Xsrc.dtype
+    p = _body_pieces(Xsrc)
+    cols = [Xsrc[:, i] for i in range(12)]
+    qdef = mc.QLEG_DEFAULT
+    for l in range(4):
+        to_swing = c_cur[:, l] * (1.0 - c_next[:, l])
+        to_stance = (1.0 - c_cur[:, l]) * c_next[:, l]
+        keep = 1.0 - to_swing - to_stance
+        pf = _foot_world_entries(p, l)
+        cmap = [1.0, 1.0, 0.0]
+        for j in range(3):
+            cols.append(keep * p["qd"][l][j] + to_swing * qdef[j]
+                        + to_stance * cmap[j] * pf[j])
+    return jnp.stack(cols, axis=1).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# cost evaluation (HKD default model terms), all transitions/nodes at once
+# ---------------------------------------------------------------------------
+
+_MU = 0.7
+
+
+def grf_rows_tbatch(U, contact):
+    """(g (T,20), mask (T,20)) friction-cone rows, entrywise."""
+    gs, ms = [], []
+    for l in range(4):
+        fx, fy, fz = U[:, 3 * l], U[:, 3 * l + 1], U[:, 3 * l + 2]
+        rows = [fz, -fx + _MU * fz, fx + _MU * fz, -fy + _MU * fz,
+                fy + _MU * fz]
+        gs += rows
+        ms += [contact[:, l]] * 5
+    return jnp.stack(gs, axis=1), jnp.stack(ms, axis=1)
+
+
+def _track_cost_entries(Xn, Un, contact, xr, ur):
+    """Running tracking cost per transition (T,)."""
+    dx2 = (Xn - xr) ** 2
+    du2 = (Un - ur) ** 2
+    q_body = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+    l = sum(q_body[i] * dx2[:, i] for i in range(12))
+    for leg in range(4):
+        wleg = 0.2 * (1.0 - contact[:, leg])
+        l = l + wleg * (dx2[:, 12 + 3 * leg] + dx2[:, 13 + 3 * leg]
+                        + dx2[:, 14 + 3 * leg])
+    l = l + 0.2 * sum(du2[:, i] for i in range(12))
+    l = l + 0.1 * sum(du2[:, i] for i in range(12, 24))
+    return 0.5 * l
+
+
+def _footreg_cost_entries(Xn, contact, xr, foot_r):
+    out = 0.0
+    for leg in range(4):
+        w = [60.0 * contact[:, leg], 20.0 * contact[:, leg], 0.0]
+        for j in range(2):
+            d = ((Xn[:, 12 + 3 * leg + j] - Xn[:, 3 + j])
+                 - (foot_r[:, 3 * leg + j] - xr[:, 3 + j]))
+            out = out + 0.5 * w[j] * d * d
+    return out
+
+
+_QF_SCALE_BODY = np.array([1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1])
+
+
+def _terminal_cost_entries(Xn, term_contact, xr, foot_r):
+    dx2 = (Xn - xr) ** 2
+    q_body = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+    phi = sum(20.0 * _QF_SCALE_BODY[i] * q_body[i] * dx2[:, i]
+              for i in range(12))
+    for leg in range(4):
+        wleg = 20.0 * 0.01 * 0.2 * (1.0 - term_contact[:, leg])
+        phi = phi + wleg * (dx2[:, 12 + 3 * leg] + dx2[:, 13 + 3 * leg]
+                            + dx2[:, 14 + 3 * leg])
+    phi = 0.5 * phi
+    # terminal foot reg (factor 10, no 1/2 — HKDCost.cpp:40-50)
+    for leg in range(4):
+        w = [60.0 * term_contact[:, leg], 20.0 * term_contact[:, leg]]
+        for j in range(2):
+            d = ((Xn[:, 12 + 3 * leg + j] - Xn[:, 3 + j])
+                 - (foot_r[:, 3 * leg + j] - xr[:, 3 + j]))
+            phi = phi + 10.0 * w[j] * d * d
+    return phi
+
+
+def touchdown_rows_tbatch(Xnodes, td_mask):
+    """(h (T+1,4)) masked touchdown heights for all nodes, entrywise FK."""
+    p = _body_pieces(Xnodes)
+    hs = []
+    for leg in range(4):
+        pf = _foot_world_entries(p, leg)
+        hs.append(td_mask[:, leg] * pf[2])
+    return jnp.stack(hs, axis=1)
+
+
+def compute_cost_tbatch(prob, X, U, constr, reb_active: bool,
+                        al_active: bool):
+    """Drop-in replacement for solver.rollout.compute_cost on the default
+    HKD model: identical return structure, horizon-minor computation."""
+    from hkdmpc_tpu.solver.costs import reb_value
+
+    is_dyn = prob.is_dyn
+    Xn = X[:-1]
+    l = _track_cost_entries(Xn, U, prob.contact, prob.xr[:-1], prob.ur[:-1])
+    l = l + _footreg_cost_entries(Xn, prob.contact, prob.xr[:-1],
+                                  prob.foot_r[:-1])
+    g, row_mask = grf_rows_tbatch(U, prob.contact)
+    if reb_active:
+        l = l + jnp.sum(row_mask * reb_value(g, constr.reb_delta,
+                                             constr.reb_eps), axis=1)
+    total = jnp.sum(is_dyn * prob.dt * l)
+
+    phi = _terminal_cost_entries(X, prob.term_contact, prob.xr, prob.foot_r)
+    h = touchdown_rows_tbatch(X, prob.td_mask)
+    if al_active:
+        phi = phi + jnp.sum(
+            prob.td_mask * (0.5 * constr.al_sigma * h * h
+                            + constr.al_lambda * h), axis=1)
+    total = total + jnp.sum(prob.term_mask * phi)
+    g_all = g * row_mask + (1.0 - row_mask)
+    return total, (g_all, h)

@@ -95,7 +95,11 @@ class ModelSpec:
         self.terminal_constraints = tuple(terminal_constraints)
         self.xs = xs
         self.us = us
-        self.build_AB_tminor = None  # optional horizon-minor A/B fast path
+        # optional horizon-minor fast paths (ops/jac_tminor, ops/hkd_tminor)
+        self.build_AB_tminor = None
+        self.dynamics_tbatch = None
+        self.reset_tbatch = None
+        self.compute_cost_tbatch = None
 
     @property
     def n_path_rows(self) -> int:
@@ -301,6 +305,12 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     )
     # horizon-minor fast path for the LQ dynamics/reset jacobians
     spec.build_AB_tminor = build_AB_tminor
+    from hkdmpc_tpu.ops import hkd_tminor
+    spec.dynamics_tbatch = hkd_tminor.dynamics_tbatch
+    spec.reset_tbatch = hkd_tminor.reset_tbatch
+    if not swing_constraint:
+        # the T-minor cost path hardcodes the default term/constraint set
+        spec.compute_cost_tbatch = hkd_tminor.compute_cost_tbatch
     if not swing_constraint:
         _DEFAULT = spec
     return spec

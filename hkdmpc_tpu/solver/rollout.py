@@ -132,13 +132,20 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
     U = state.Ubar + eps * (state.dU
                             + jnp.einsum("tij,tj->ti", state.K, state.dX[:-1]))
 
-    sim = jax.vmap(model.dynamics, in_axes=(0, 0, 0, None))(
-        X[:-1], U, prob.contact, prob.dt)                          # (T,24)
+    if getattr(model, "dynamics_tbatch", None) is not None:
+        sim = model.dynamics_tbatch(X[:-1], U, prob.contact, prob.dt)
+    else:
+        sim = jax.vmap(model.dynamics, in_axes=(0, 0, 0, None))(
+            X[:-1], U, prob.contact, prob.dt)                      # (T,24)
 
     # reset transitions: source sim state = sim output of transition t-1
     sim_prev = jnp.concatenate([prob.x0[None], sim[:-1]], axis=0)
-    reset_out = jax.vmap(model.reset_map)(sim_prev, prob.contact,
-                                          prob.contact_next)
+    if getattr(model, "reset_tbatch", None) is not None:
+        reset_out = model.reset_tbatch(sim_prev, prob.contact,
+                                       prob.contact_next)
+    else:
+        reset_out = jax.vmap(model.reset_map)(sim_prev, prob.contact,
+                                              prob.contact_next)
 
     is_dyn = (prob.kind == DYN)
     is_reset = (prob.kind == RESET)
@@ -178,6 +185,9 @@ def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
     constraint violations of this trajectory (masked rows read as satisfied).
     """
     model = model or _default_model()
+    if getattr(model, "compute_cost_tbatch", None) is not None:
+        return model.compute_cost_tbatch(prob, X, U, constr, reb_active,
+                                         al_active)
     is_dyn = prob.is_dyn
 
     def run_one(t):

@@ -63,6 +63,40 @@ def test_lq_tminor_matches_generic():
                                    atol=1e-11, err_msg=name)
 
 
+def test_tminor_cost_and_dynamics_match_generic():
+    pb, prob, state, opt = _solved_state()
+    from hkdmpc_tpu.ops import hkd_tminor
+    from hkdmpc_tpu.models import hkd
+    import jax
+
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    X, U = ro.X, ro.U
+
+    sim_a = hkd_tminor.dynamics_tbatch(X[:-1], U, prob.contact, prob.dt)
+    sim_b = jax.vmap(hkd.dynamics, in_axes=(0, 0, 0, None))(
+        X[:-1], U, prob.contact, prob.dt)
+    np.testing.assert_allclose(sim_a, sim_b, atol=1e-12)
+
+    rst_a = hkd_tminor.reset_tbatch(X[:-1], prob.contact, prob.contact_next)
+    rst_b = jax.vmap(hkd.reset_map)(X[:-1], prob.contact, prob.contact_next)
+    np.testing.assert_allclose(rst_a, rst_b, atol=1e-12)
+
+    from hkdmpc_tpu.solver.model_api import hkd_model_spec, ModelSpec
+    fast = hkd_model_spec()
+    slow = ModelSpec(
+        dynamics=fast.dynamics, dynamics_jacobians=fast.dynamics_jacobians,
+        reset_map=fast.reset_map, reset_map_jacobian=fast.reset_map_jacobian,
+        cost_terms=fast.cost_terms, path_constraints=fast.path_constraints,
+        terminal_constraints=fast.terminal_constraints)
+    ca, (ga, ha) = ro_mod.compute_cost(prob, X, U, state.constr, True, True,
+                                       fast)
+    cb, (gb, hb) = ro_mod.compute_cost(prob, X, U, state.constr, True, True,
+                                       slow)
+    assert abs(float(ca) - float(cb)) < 1e-9
+    np.testing.assert_allclose(ga, gb, atol=1e-12)
+    np.testing.assert_allclose(ha, hb, atol=1e-12)
+
+
 def test_solve_parallel_rollout_equivalent():
     pb, x0, opt = make_trot()
     prob, state = pb.build(x0)
