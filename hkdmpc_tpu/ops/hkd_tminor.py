@@ -191,6 +191,175 @@ def touchdown_rows_tbatch(Xnodes, td_mask):
     return jnp.stack(hs, axis=1)
 
 
+def _assemble_vec(entries: dict, T, dtype, n=24):
+    idx = np.array(sorted(entries), dtype=np.int32)
+    vals = jnp.stack([jnp.broadcast_to(entries[i], (T,)).astype(dtype)
+                      for i in sorted(entries)], axis=0)
+    return jnp.transpose(jnp.zeros((n, T), dtype).at[idx].set(vals))
+
+
+def _assemble_mat(entries: dict, T, dtype, n=24):
+    from hkdmpc_tpu.ops.jac_tminor import _assemble
+    return _assemble(entries, T, dtype, n)
+
+
+_Q_BODY = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+
+
+def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
+    """(lx, lu, lxx, luu, lux) for all transitions — closed-form entries of
+    the HKD tracking + foot-reg costs and the GRF ReB barrier, horizon-minor.
+    Rows for RESET/PAD transitions are zeroed by the is_dyn mask."""
+    from hkdmpc_tpu.solver.costs import reb_derivs
+
+    dtype = X.dtype
+    T = prob.T
+    Xn, xr, ur = X[:-1], prob.xr[:-1], prob.ur[:-1]
+    dt = prob.dt
+    mdt = prob.is_dyn * dt
+    c = [prob.contact[:, l] for l in range(4)]
+
+    lx: dict = {}
+    lxx: dict = {}
+    lu: dict = {}
+    luu: dict = {}
+
+    def acc(d, k, v):
+        d[k] = d.get(k, 0.0) + v
+
+    # tracking state terms
+    for i in range(12):
+        acc(lx, i, mdt * _Q_BODY[i] * (Xn[:, i] - xr[:, i]))
+        acc(lxx, (i, i), mdt * _Q_BODY[i])
+    for l in range(4):
+        w = 0.2 * (1.0 - c[l])
+        for j in range(3):
+            i = 12 + 3 * l + j
+            acc(lx, i, mdt * w * (Xn[:, i] - xr[:, i]))
+            acc(lxx, (i, i), mdt * w)
+
+    # foot-placement regularization (weights 20*(3c, c, 0) per leg)
+    for l in range(4):
+        Wl = [60.0 * c[l], 20.0 * c[l]]
+        for j in range(2):
+            i = 12 + 3 * l + j
+            d = (Xn[:, i] - Xn[:, 3 + j]) - (prob.foot_r[:-1, 3 * l + j]
+                                             - xr[:, 3 + j])
+            acc(lx, i, mdt * Wl[j] * d)
+            acc(lx, 3 + j, -mdt * Wl[j] * d)
+            acc(lxx, (i, i), mdt * Wl[j])
+            acc(lxx, (3 + j, 3 + j), mdt * Wl[j])
+            acc(lxx, (i, 3 + j), -mdt * Wl[j])
+            acc(lxx, (3 + j, i), -mdt * Wl[j])
+
+    # control tracking
+    for i in range(12):
+        acc(lu, i, mdt * 0.2 * (U[:, i] - ur[:, i]))
+        acc(luu, (i, i), mdt * 0.2)
+    for i in range(12, 24):
+        acc(lu, i, mdt * 0.1 * (U[:, i] - ur[:, i]))
+        acc(luu, (i, i), mdt * 0.1)
+
+    if reb_active:
+        g, row_mask = grf_rows_tbatch(U, prob.contact)
+        d1, d2 = reb_derivs(g, constr.reb_delta, constr.reb_eps)
+        d1 = row_mask * d1
+        d2 = row_mask * d2
+        mu = _MU
+        for l in range(4):
+            r0 = 5 * l
+            D = [d1[:, r0 + k] for k in range(5)]
+            H = [d2[:, r0 + k] for k in range(5)]
+            ux, uy, uz = 3 * l, 3 * l + 1, 3 * l + 2
+            acc(lu, ux, mdt * (-D[1] + D[2]))
+            acc(lu, uy, mdt * (-D[3] + D[4]))
+            acc(lu, uz, mdt * (D[0] + mu * (D[1] + D[2] + D[3] + D[4])))
+            acc(luu, (ux, ux), mdt * (H[1] + H[2]))
+            acc(luu, (uy, uy), mdt * (H[3] + H[4]))
+            acc(luu, (uz, uz),
+                mdt * (H[0] + mu * mu * (H[1] + H[2] + H[3] + H[4])))
+            hxz = mdt * mu * (H[2] - H[1])
+            hyz = mdt * mu * (H[4] - H[3])
+            acc(luu, (ux, uz), hxz)
+            acc(luu, (uz, ux), hxz)
+            acc(luu, (uy, uz), hyz)
+            acc(luu, (uz, uy), hyz)
+
+    return (_assemble_vec(lx, T, dtype), _assemble_vec(lu, T, dtype),
+            _assemble_mat(lxx, T, dtype), _assemble_mat(luu, T, dtype),
+            jnp.zeros((T, 24, 24), dtype))
+
+
+def terminal_partials_tbatch(prob, X, constr, al_active: bool):
+    """(phix (T+1,24), phixx (T+1,24,24)) — terminal tracking + foot reg
+    + AL touchdown, horizon-minor, masked by term_mask."""
+    dtype = X.dtype
+    Tn = prob.T + 1
+    xr = prob.xr
+    tm = prob.term_mask
+    tc = [prob.term_contact[:, l] for l in range(4)]
+
+    phix: dict = {}
+    phixx: dict = {}
+
+    def acc(d, k, v):
+        d[k] = d.get(k, 0.0) + v
+
+    for i in range(12):
+        qf = 20.0 * _QF_SCALE_BODY[i] * _Q_BODY[i]
+        acc(phix, i, tm * qf * (X[:, i] - xr[:, i]))
+        acc(phixx, (i, i), tm * qf)
+    for l in range(4):
+        w = 0.04 * (1.0 - tc[l])
+        for j in range(3):
+            i = 12 + 3 * l + j
+            acc(phix, i, tm * w * (X[:, i] - xr[:, i]))
+            acc(phixx, (i, i), tm * w)
+
+    # terminal foot reg: grad 20*J'Wd, hess 20*J'WJ, W = 20*(3c, c, 0)
+    for l in range(4):
+        Wl = [60.0 * tc[l], 20.0 * tc[l]]
+        for j in range(2):
+            i = 12 + 3 * l + j
+            d = (X[:, i] - X[:, 3 + j]) - (prob.foot_r[:, 3 * l + j]
+                                           - xr[:, 3 + j])
+            acc(phix, i, tm * 20.0 * Wl[j] * d)
+            acc(phix, 3 + j, -tm * 20.0 * Wl[j] * d)
+            acc(phixx, (i, i), tm * 20.0 * Wl[j])
+            acc(phixx, (3 + j, 3 + j), tm * 20.0 * Wl[j])
+            acc(phixx, (i, 3 + j), -tm * 20.0 * Wl[j])
+            acc(phixx, (3 + j, i), -tm * 20.0 * Wl[j])
+
+    if al_active:
+        p = _body_pieces(X)
+        for l in range(4):
+            mask = tm * prob.td_mask[:, l]
+            pf = _foot_world_entries(p, l)
+            h = pf[2]
+            sig = constr.al_sigma[:, l]
+            lam = constr.al_lambda[:, l]
+            w1 = mask * (sig * h + lam)
+            w2 = mask * (sig * (1.0 + h) + lam)
+            # hx row entries: d pf_z/d eul (3), d pf_z/d pos_z = 1, d/d qleg
+            p_leg, J_leg = _leg_fk_entries(p["qd"][l], l)
+            hip = mc.HIP_OFFSETS[l]
+            pfull = [p_leg[k] + hip[k] for k in range(3)]
+            cols = {}
+            for ang in range(3):
+                cols[ang] = sum(p["dR"][ang][2][k] * pfull[k]
+                                for k in range(3))
+            cols[5] = jnp.ones(Tn, dtype)
+            for j in range(3):
+                cols[12 + 3 * l + j] = sum(p["R"][2][k] * J_leg[k][j]
+                                           for k in range(3))
+            for a, va in cols.items():
+                acc(phix, a, w1 * va)
+                for b, vb in cols.items():
+                    acc(phixx, (a, b), w2 * va * vb)
+
+    return _assemble_vec(phix, Tn, dtype), _assemble_mat(phixx, Tn, dtype)
+
+
 def compute_cost_tbatch(prob, X, U, constr, reb_active: bool,
                         al_active: bool):
     """Drop-in replacement for solver.rollout.compute_cost on the default

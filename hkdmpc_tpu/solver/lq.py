@@ -101,6 +101,14 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
     A, B = fast_ab(prob, X, U)
     is_dyn = prob.is_dyn
 
+    run_fast = getattr(model, "running_partials_tbatch", None)
+    term_fast = getattr(model, "terminal_partials_tbatch", None)
+    if run_fast is not None and term_fast is not None:
+        lx, lu, lxx, luu, lux = run_fast(prob, X, U, constr, reb_active)
+        phix, phixx = term_fast(prob, X, constr, al_active)
+        return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
+                      phix=phix, phixx=phixx)
+
     def cost_partials(t):
         x, u = X[t], U[t]
         ctx = run_ctx(prob, t)

@@ -100,6 +100,8 @@ class ModelSpec:
         self.dynamics_tbatch = None
         self.reset_tbatch = None
         self.compute_cost_tbatch = None
+        self.running_partials_tbatch = None
+        self.terminal_partials_tbatch = None
 
     @property
     def n_path_rows(self) -> int:
@@ -309,8 +311,10 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     spec.dynamics_tbatch = hkd_tminor.dynamics_tbatch
     spec.reset_tbatch = hkd_tminor.reset_tbatch
     if not swing_constraint:
-        # the T-minor cost path hardcodes the default term/constraint set
+        # the T-minor cost paths hardcode the default term/constraint set
         spec.compute_cost_tbatch = hkd_tminor.compute_cost_tbatch
+        spec.running_partials_tbatch = hkd_tminor.running_partials_tbatch
+        spec.terminal_partials_tbatch = hkd_tminor.terminal_partials_tbatch
     if not swing_constraint:
         _DEFAULT = spec
     return spec

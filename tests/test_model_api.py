@@ -54,6 +54,101 @@ def test_swing_constraint_lifts_feet():
     assert dip > dip_base + 1e-4, (dip, dip_base)
 
 
+def test_custom_hybrid_model_bouncing_mass():
+    """A completely different hybrid system through the same solver: a
+    point mass falling under gravity with an inelastic impact reset at the
+    phase boundary, tracking a target height in the second phase. Exercises
+    ModelSpec generality + hand-built ProblemData (no quadruped anywhere)."""
+    import jax
+    from hkdmpc_tpu.solver.structs import (DYN, PAD, RESET, ConstraintState,
+                                           ProblemData, SolverState)
+
+    g = 9.81
+
+    def dyn(x, u, contact, dt):
+        # x[0] = height, x[1] = vertical velocity, u[0] = thrust (2nd phase)
+        acc = -g + contact[0] * u[0]
+        return x.at[0].add(dt * x[1]).at[1].add(dt * acc)
+
+    def dyn_jac(x, u, contact, dt):
+        A = jnp.eye(24, dtype=x.dtype).at[0, 1].set(dt)
+        B = jnp.zeros((24, 24), x.dtype).at[1, 0].set(dt * contact[0])
+        return A, B
+
+    def reset(x, c, cn):
+        return x.at[1].multiply(-0.5)   # inelastic bounce
+
+    def reset_jac(x, c, cn):
+        return jnp.eye(24, dtype=x.dtype).at[1, 1].set(-0.5)
+
+    class HeightTracking(CostTerm):
+        def running(self, x, u, ctx):
+            dx0 = x[0] - ctx["xr"][0]
+            return ctx["dt"] * (0.5 * dx0 * dx0 + 0.5e-4 * u[0] * u[0])
+
+        def running_partials(self, x, u, ctx):
+            dt, dtype = ctx["dt"], x.dtype
+            dx0 = x[0] - ctx["xr"][0]
+            lx = jnp.zeros(24, dtype).at[0].set(dt * dx0)
+            lu = jnp.zeros(24, dtype).at[0].set(dt * 1e-4 * u[0])
+            lxx = jnp.zeros((24, 24), dtype).at[0, 0].set(dt)
+            luu = jnp.eye(24, dtype=dtype) * (dt * 1e-4)
+            return lx, lu, lxx, luu, jnp.zeros((24, 24), dtype)
+
+        def terminal(self, x, ctx):
+            dx0 = x[0] - ctx["xr"][0]
+            return 10.0 * 0.5 * dx0 * dx0
+
+        def terminal_partials(self, x, ctx):
+            dtype = x.dtype
+            dx0 = x[0] - ctx["xr"][0]
+            return (jnp.zeros(24, dtype).at[0].set(10.0 * dx0),
+                    jnp.zeros((24, 24), dtype).at[0, 0].set(10.0))
+
+    spec = ModelSpec(dynamics=dyn, dynamics_jacobians=dyn_jac,
+                     reset_map=reset, reset_map_jacobian=reset_jac,
+                     cost_terms=[HeightTracking()])
+
+    # two phases: 10 steps flight (contact 0), RESET, 10 steps thrust
+    T = 21
+    kind = np.zeros(T, np.int32)
+    kind[:10] = DYN
+    kind[10] = RESET
+    kind[11:] = DYN
+    contact = np.zeros((T, 4))
+    contact[11:, 0] = 1.0
+    xr = np.zeros((T + 1, 24))
+    xr[:, 0] = 1.0    # track 1 m height
+    prob = ProblemData(
+        kind=jnp.asarray(kind), contact=jnp.asarray(contact),
+        contact_next=jnp.asarray(np.where(np.arange(T)[:, None] >= 10,
+                                          contact[-1], contact[0])),
+        dt=jnp.asarray(0.02), xr=jnp.asarray(xr),
+        ur=jnp.zeros((T + 1, 24)), foot_r=jnp.zeros((T + 1, 12)),
+        term_mask=jnp.zeros(T + 1).at[10].set(1.0).at[T].set(1.0),
+        term_contact=jnp.asarray(np.vstack([contact, contact[-1:]])),
+        td_mask=jnp.zeros((T + 1, 4)),
+        ss_mask=jnp.ones(T + 1),
+        start_mask=jnp.zeros(T + 1).at[0].set(1.0).at[11].set(1.0),
+        x0=jnp.zeros(24).at[0].set(2.0))
+    constr = ConstraintState(
+        reb_delta=jnp.zeros((T, 0)), reb_delta_min=jnp.zeros((T, 0)),
+        reb_eps=jnp.zeros((T, 0)), al_lambda=jnp.zeros((T + 1, 0)),
+        al_sigma=jnp.zeros((T + 1, 0)), al_sigma_max=jnp.zeros((T + 1, 0)))
+    state = SolverState.init(prob, constr)
+
+    import dataclasses as dc
+    from hkdmpc_tpu.config import HSDDPOption
+    opt = HSDDPOption(max_DDP_iter=12, max_AL_iter=1, AL_active=False,
+                      ReB_active=False)
+    res = ddp.solve_jit(prob, state, opt, False, spec)
+    assert not bool(res.solve_failed)
+    assert float(res.dyn_feas) < 1e-3
+    # after the bounce, thrust drives the mass toward the 1 m target
+    final_h = float(res.state.Xbar[-1, 0])
+    assert abs(final_h - 1.0) < 0.3, final_h
+
+
 def test_custom_cost_term():
     """A user-defined control-smoothness cost plugs in and changes the
     solution in the expected direction (smaller GRF magnitudes)."""
