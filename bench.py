@@ -24,6 +24,9 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # per-call chunk: (B, T, 24, 24) HLO temps tile-pad 5.3x on TPU; 1024
+    # scenarios/call fits v5e HBM comfortably and already saturates the chip.
+    chunk = min(batch, int(os.environ.get("BENCH_CHUNK", "1024")))
 
     import __graft_entry__ as ge
     from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
@@ -32,24 +35,29 @@ def main():
     _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
     opt = opt.runtime()
 
-    prob_b, state_b = replicate_problem(prob, state, batch)
-    prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(0))
-    prob_b, state_b = jax.device_put((prob_b, state_b))
+    chunks = []
+    for i in range(batch // chunk):
+        prob_b, state_b = replicate_problem(prob, state, chunk)
+        prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(i))
+        chunks.append(jax.device_put((prob_b, state_b)))
 
     solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None, None)),
                     static_argnames=("opt", "parallel_rollout"))
 
+    def run_all():
+        out = [solve(pb, sb, opt, True) for pb, sb in chunks]
+        out[-1].cost.block_until_ready()
+        return out
+
     # warmup / compile
-    res = solve(prob_b, state_b, opt, True)
-    res.cost.block_until_ready()
-    n_failed = int(jnp.sum(res.solve_failed))
-    mean_cost = float(jnp.mean(res.cost))
+    results = run_all()
+    n_failed = sum(int(jnp.sum(r.solve_failed)) for r in results)
+    mean_cost = float(np.mean([float(jnp.mean(r.cost)) for r in results]))
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = solve(prob_b, state_b, opt, True)
-        res.cost.block_until_ready()
+        results = run_all()
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -48,6 +48,20 @@ class MPCService:
                "ineq_feas": np.full(len(ct), float(res.max_pconstr))}
         self.tx.publish("solver_info", self.info_t.encode(msg))
 
+    def publish_debugfoot(self):
+        """qdummy + contact sequence over the horizon (parity:
+        HKDMPCSolver::publish_debugfoot, HKDMPC.cpp:300-322)."""
+        from hkdmpc_tpu.comm.lcm_types import load_reference_types
+        opt_t = load_reference_types(DEFAULT_LCMTYPES)["opt_sol_lcmt"]
+        qd, ct = [], []
+        for ph in self.solver.problem.phases:
+            for k in range(ph.horizon):
+                qd.append(ph.Xbar[k, 12:24])
+                ct.append(ph.contact)
+        msg = {"N": len(qd), "qdummy": np.asarray(qd, dtype=np.float32),
+               "contacts": np.asarray(ct, dtype=np.int32)}
+        self.tx.publish("debug_foot", opt_t.encode(msg))
+
     def handle(self, msg: dict):
         if msg["reset_mpc"]:
             opt = dataclasses.replace(self.solver.opt, MS=bool(msg["MS"]))
