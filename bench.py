@@ -35,17 +35,18 @@ def main():
     _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
     opt = opt.runtime()
 
-    chunks = []
-    for i in range(batch // chunk):
-        prob_b, state_b = replicate_problem(prob, state, chunk)
-        prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(i))
-        chunks.append(jax.device_put((prob_b, state_b)))
+    import dataclasses
+    prob_b, state_b = replicate_problem(prob, state, chunk)
+    prob_b, state_b = jax.device_put((prob_b, state_b))
+    x0s = [perturb_scenarios(prob_b, jax.random.PRNGKey(i)).x0
+           for i in range(batch // chunk)]
 
     solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None, None)),
                     static_argnames=("opt", "parallel_rollout"))
 
     def run_all():
-        out = [solve(pb, sb, opt, True) for pb, sb in chunks]
+        out = [solve(dataclasses.replace(prob_b, x0=x0), state_b, opt, True)
+               for x0 in x0s]
         out[-1].cost.block_until_ready()
         return out
 

@@ -66,7 +66,8 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 
 
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
-          parallel_rollout: bool = False, model=None) -> SolveResult:
+          parallel_rollout: bool = False, model=None,
+          assoc_linear: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -149,7 +150,13 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         st = _replace(st, dU=dU, K=K)
 
         if ms:
-            dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd, c["defect"], 1.0)
+            if assoc_linear:
+                from hkdmpc_tpu.ops.assoc import linear_rollout_assoc
+                dX, dv1, dv2 = linear_rollout_assoc(prob, st, lqd,
+                                                    c["defect"], 1.0)
+            else:
+                dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd,
+                                                     c["defect"], 1.0)
             st = _replace(st, dX=dX)
 
         dv_abs = jnp.abs(dv1 + 0.5 * dv2)
@@ -264,10 +271,11 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 
 
 # jitted entry point: one compiled instance per (option set, problem shape)
-solve_jit = jax.jit(solve,
-                    static_argnames=("opt", "parallel_rollout", "model"))
+solve_jit = jax.jit(
+    solve,
+    static_argnames=("opt", "parallel_rollout", "model", "assoc_linear"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes
 solve_batch = jax.jit(
-    jax.vmap(solve, in_axes=(0, 0, None, None, None)),
-    static_argnames=("opt", "parallel_rollout", "model"))
+    jax.vmap(solve, in_axes=(0, 0, None, None, None, None)),
+    static_argnames=("opt", "parallel_rollout", "model", "assoc_linear"))
