@@ -14,6 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from hkdmpc_tpu.models import mini_cheetah as mc
+
+# python-float constant views (numpy scalars would promote f32 arrays to f64)
+_IINV = [float(v) for v in mc.INERTIA_INV_DIAG]
+_IDIAG = [float(v) for v in mc.INERTIA_DIAG]
+_HIP = [[float(v) for v in row] for row in mc.HIP_OFFSETS]
+_QDEF = [float(v) for v in mc.QLEG_DEFAULT]
 from hkdmpc_tpu.ops.jac_tminor import _leg_fk_entries, _rot_entries
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET
 
@@ -41,7 +47,7 @@ def _foot_world_entries(p, leg):
     """World foot position entries (3 x (T,)) for one leg from body pieces,
     qdummy of that leg as joint angles."""
     p_leg, _ = _leg_fk_entries(p["qd"][leg], leg)
-    hip = mc.HIP_OFFSETS[leg]
+    hip = _HIP[leg]
     pf_hip = [p_leg[k] + hip[k] for k in range(3)]
     R = p["R"]
     pos = [p["px"], p["py"], p["pz"]]
@@ -76,7 +82,7 @@ def dynamics_tbatch(Xs, U, contact, dt):
                      - r[l][(k + 2) % 3] * p["f"][l][(k + 1) % 3])
              for l in range(4)) for k in range(3)]
     tau = [sum(R[k][i] * m[k] for k in range(3)) for i in range(3)]
-    Idg, Iinv = mc.INERTIA_DIAG, mc.INERTIA_INV_DIAG
+    Idg, Iinv = _IDIAG, _IINV
     Iw = [Idg[k] * p["w"][k] for k in range(3)]
     wxIw = [p["w"][1] * Iw[2] - p["w"][2] * Iw[1],
             p["w"][2] * Iw[0] - p["w"][0] * Iw[2],
@@ -100,7 +106,7 @@ def reset_tbatch(Xsrc, c_cur, c_next):
     dtype = Xsrc.dtype
     p = _body_pieces(Xsrc)
     cols = [Xsrc[:, i] for i in range(12)]
-    qdef = mc.QLEG_DEFAULT
+    qdef = _QDEF
     for l in range(4):
         to_swing = c_cur[:, l] * (1.0 - c_next[:, l])
         to_stance = (1.0 - c_cur[:, l]) * c_next[:, l]
@@ -136,7 +142,7 @@ def _track_cost_entries(Xn, Un, contact, xr, ur):
     """Running tracking cost per transition (T,)."""
     dx2 = (Xn - xr) ** 2
     du2 = (Un - ur) ** 2
-    q_body = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+    q_body = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
     l = sum(q_body[i] * dx2[:, i] for i in range(12))
     for leg in range(4):
         wleg = 0.2 * (1.0 - contact[:, leg])
@@ -158,12 +164,12 @@ def _footreg_cost_entries(Xn, contact, xr, foot_r):
     return out
 
 
-_QF_SCALE_BODY = np.array([1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1])
+_QF_SCALE_BODY = [1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1]
 
 
 def _terminal_cost_entries(Xn, term_contact, xr, foot_r):
     dx2 = (Xn - xr) ** 2
-    q_body = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+    q_body = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
     phi = sum(20.0 * _QF_SCALE_BODY[i] * q_body[i] * dx2[:, i]
               for i in range(12))
     for leg in range(4):
@@ -203,7 +209,7 @@ def _assemble_mat(entries: dict, T, dtype, n=24):
     return _assemble(entries, T, dtype, n)
 
 
-_Q_BODY = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5])
+_Q_BODY = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
 
 
 def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
@@ -342,7 +348,7 @@ def terminal_partials_tbatch(prob, X, constr, al_active: bool):
             w2 = mask * (sig * (1.0 + h) + lam)
             # hx row entries: d pf_z/d eul (3), d pf_z/d pos_z = 1, d/d qleg
             p_leg, J_leg = _leg_fk_entries(p["qd"][l], l)
-            hip = mc.HIP_OFFSETS[l]
+            hip = _HIP[l]
             pfull = [p_leg[k] + hip[k] for k in range(3)]
             cols = {}
             for ang in range(3):

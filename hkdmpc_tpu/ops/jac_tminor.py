@@ -21,6 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from hkdmpc_tpu.models import mini_cheetah as mc
+
+# python-float constant views (numpy scalars would promote f32 arrays to f64)
+_IINV = [float(v) for v in mc.INERTIA_INV_DIAG]
+_IDIAG = [float(v) for v in mc.INERTIA_DIAG]
+_HIP = [[float(v) for v in row] for row in mc.HIP_OFFSETS]
+_QDEF = [float(v) for v in mc.QLEG_DEFAULT]
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET
 
 
@@ -134,8 +140,8 @@ def build_AB_tminor(prob, X, U):
                      - r[l][(k + 2) % 3] * f[l][(k + 1) % 3])
              for l in range(4)) for k in range(3)]
     Fc = [sum(c[l] * f[l][j] for l in range(4)) for j in range(3)]
-    Iinv = mc.INERTIA_INV_DIAG
-    Idg = mc.INERTIA_DIAG
+    Iinv = _IINV
+    Idg = _IDIAG
 
     for i in range(3):
         for ang in range(3):
@@ -174,7 +180,7 @@ def build_AB_tminor(prob, X, U):
         to_stance = (1.0 - prob.contact[:, l]) * prob.contact_next[:, l]
         keep = 1.0 - to_swing - to_stance
         p_leg, J_leg = _leg_fk_entries([qd[l][0], qd[l][1], qd[l][2]], l)
-        hip = mc.HIP_OFFSETS[l]
+        hip = _HIP[l]
         pfull = [p_leg[k] + hip[k] for k in range(3)]
         r0 = 12 + 3 * l
         # rows x,y of the foot jacobian blocks (z row killed by cmap)

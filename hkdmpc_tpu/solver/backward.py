@@ -82,7 +82,7 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
     init = (G_seed, H_seed, jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.array(True))
     (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev) = lax.scan(
-        step, init, jnp.arange(T - 1, -1, -1))
+        step, init, jnp.arange(T - 1, -1, -1), unroll=4)
     # scan emitted in reverse transition order — flip back
     dU = dU_rev[::-1]
     K = K_rev[::-1]
