@@ -43,5 +43,5 @@ def sweep_inverse(M, pd_shift: float = 1e-9):
              - 2.0 * jnp.outer(e, e))
         return W, ok
 
-    W, ok = lax.fori_loop(0, n, body, (M, jnp.array(True)), unroll=6)
+    W, ok = lax.fori_loop(0, n, body, (M, jnp.array(True)))
     return -W, ok

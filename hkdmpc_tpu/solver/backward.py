@@ -21,13 +21,63 @@ REG_MAX = 1e2         # reference: MultiPhaseDDP.cpp:160
 CHOL_SHIFT = 1e-9     # reference: SinglePhase.cpp:337
 
 
+def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
+    """Fused Riccati step via the augmented sweep operator.
+
+    Sweeping the Quu block of the symmetric bordered matrix
+        [[Quu,  Qux,  Qu],
+         [Qux', Qxx,  Qx],
+         [Qu',  Qx',  0 ]]
+    yields in one pass: K = -Quu^-1 Qux, dU = -Quu^-1 Qu,
+    H' = Qxx - Qux' Quu^-1 Qux, G' = Qx - Qux' Quu^-1 Qu, and
+    dV = -Qu' Quu^-1 Qu in the corner — replacing the explicit inverse plus
+    four matmuls. Pivots double as the PSD gate (same criterion as
+    sweep_inverse). Algebraically identical to the reference's expansion
+    (SinglePhase.cpp:342-358); float rounding differs slightly.
+    """
+    n = 49
+    M = jnp.zeros((n, n), dtype)
+    M = M.at[0:24, 0:24].set(Quu)
+    M = M.at[0:24, 24:48].set(Qux)
+    M = M.at[24:48, 0:24].set(Qux.T)
+    M = M.at[24:48, 24:48].set(Qxx)
+    M = M.at[0:24, 48].set(Qu)
+    M = M.at[48, 0:24].set(Qu)
+    M = M.at[24:48, 48].set(Qx)
+    M = M.at[48, 24:48].set(Qx)
+
+    eye = jnp.eye(n, dtype=dtype)
+
+    def body(k, carry):
+        W, ok = carry
+        e = eye[k]
+        row = W[k]
+        col = W[:, k]
+        d = row[k]
+        ok = jnp.logical_and(ok, d > CHOL_SHIFT)
+        d_safe = jnp.where(jnp.abs(d) > 1e-30, d, jnp.asarray(1.0, dtype))
+        W = (W - jnp.outer(col - e, row - e) / d_safe
+             - 2.0 * jnp.outer(e, e))
+        return W, ok
+
+    W, ok = lax.fori_loop(0, 24, body, (M, jnp.array(True)))
+    K_t = -W[0:24, 24:48]
+    dU_t = -W[0:24, 48]
+    H_new = W[24:48, 24:48]
+    H_new = 0.5 * (H_new + H_new.T)
+    G_new = W[24:48, 48]
+    dv_k = -W[48, 48]
+    return dU_t, K_t, G_new, H_new, dv_k, ok
+
+
 def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
-                   last_node):
+                   last_node, aug_sweep: bool = True):
     """One full backward sweep at a given regularization.
 
     Returns (dU, K, G0, H0, dV_1, dV_2, success).
     carry = (G, H, dV_1, dV_2, ok) — value approx at the dest node of the
-    transition being processed.
+    transition being processed. aug_sweep selects the fused augmented-sweep
+    Riccati step (default) vs the explicit-inverse formulation.
     """
     T = prob.T
     dtype = lq.A.dtype
@@ -51,16 +101,21 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
             Qux = lq.lux[t] + lq.B[t].T @ H @ lq.A[t]
             Qxx = Qxx + regularization * eye
             Quu = Quu + regularization * eye
-            Quu_inv, psd = sweep_inverse(Quu, CHOL_SHIFT)
-            Quu_inv = jnp.where(psd, Quu_inv, eye)
-            Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
-            Qxx = 0.5 * (Qxx + Qxx.T)
-            dU_t = -Quu_inv @ Qu
-            K_t = -Quu_inv @ Qux
-            G_new = Qx - Qux.T @ Quu_inv @ Qu
-            H_new = Qxx - Qux.T @ Quu_inv @ Qux
-            dv_k = -Qu @ dU_t
-            return G_new, H_new, dv1 - dv_k, dv2 + dv_k, jnp.logical_and(ok, psd), dU_t, K_t
+            if aug_sweep:
+                dU_t, K_t, G_new, H_new, dv_k, psd = _riccati_step_aug_sweep(
+                    Qx, Qu, 0.5 * (Qxx + Qxx.T), Quu, Qux, dtype)
+            else:
+                Quu_inv, psd = sweep_inverse(Quu, CHOL_SHIFT)
+                Quu_inv = jnp.where(psd, Quu_inv, eye)
+                Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
+                Qxx_s = 0.5 * (Qxx + Qxx.T)
+                dU_t = -Quu_inv @ Qu
+                K_t = -Quu_inv @ Qux
+                G_new = Qx - Qux.T @ Quu_inv @ Qu
+                H_new = Qxx_s - Qux.T @ Quu_inv @ Qux
+                dv_k = -Qu @ dU_t
+            return (G_new, H_new, dv1 - dv_k, dv2 + dv_k,
+                    jnp.logical_and(ok, psd), dU_t, K_t)
 
         def reset_branch(_):
             # phase-start defect correction (SinglePhase.cpp:363-365), then
@@ -82,7 +137,7 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
     init = (G_seed, H_seed, jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.array(True))
     (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev) = lax.scan(
-        step, init, jnp.arange(T - 1, -1, -1), unroll=4)
+        step, init, jnp.arange(T - 1, -1, -1))
     # scan emitted in reverse transition order — flip back
     dU = dU_rev[::-1]
     K = K_rev[::-1]

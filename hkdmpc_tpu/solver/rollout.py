@@ -268,8 +268,7 @@ def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
         dv2 = jnp.where(is_dyn, dv2_dyn, jnp.where(is_rst, dv2_rst, 0.0))
         return dx_next, (dx_next, dv1, dv2)
 
-    dx_last, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T),
-                                              unroll=4)
+    dx_last, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T))
     dX = jnp.concatenate([dx0[None], dX_rest], axis=0)
 
     # terminal node of the last phase (last active node)

@@ -63,6 +63,21 @@ def test_lq_tminor_matches_generic():
                                    atol=1e-11, err_msg=name)
 
 
+def test_aug_sweep_riccati_matches_explicit():
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    a = backward.backward_sweep(prob, lqd, ro.defect, 0.01, last,
+                                aug_sweep=True)
+    b = backward.backward_sweep(prob, lqd, ro.defect, 0.01, last,
+                                aug_sweep=False)
+    for x, y, name in [(a[0], b[0], "dU"), (a[1], b[1], "K"),
+                       (a[4], b[4], "dV1"), (a[5], b[5], "dV2")]:
+        np.testing.assert_allclose(x, y, atol=1e-7, rtol=1e-7, err_msg=name)
+    assert bool(a[6]) == bool(b[6])
+
+
 def test_tminor_cost_and_dynamics_match_generic():
     pb, prob, state, opt = _solved_state()
     from hkdmpc_tpu.ops import hkd_tminor
