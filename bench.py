@@ -75,6 +75,24 @@ def main():
           f"failed={n_failed} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 
+    if os.environ.get("BENCH_LATENCY"):
+        # single-scenario MPC re-solve latency (p50) — the reference's
+        # real-time budget is 10 ms per re-solve (HKDMPC.cpp:26-29)
+        from hkdmpc_tpu.solver.ddp import solve_jit
+        prob1 = jax.tree_util.tree_map(lambda a: a[0], prob_b)
+        state1 = jax.tree_util.tree_map(lambda a: a[0], state_b)
+        r = solve_jit(prob1, state1, opt, True)
+        r.cost.block_until_ready()
+        lats = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            r = solve_jit(prob1, state1, opt, True)
+            r.cost.block_until_ready()
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        print(f"# single-solve latency p50={lats[25]*1e3:.2f}ms "
+              f"p90={lats[45]*1e3:.2f}ms", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -71,7 +71,11 @@ def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
 
 
 def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
-                   last_node, aug_sweep: bool = True):
+                   last_node, aug_sweep: bool = False):
+    # aug_sweep measured ~7% slower than the explicit form at batch 1024 on
+    # v5e (XLA's batched 24x24 matmuls are MXU-efficient; the 49x49 sweep's
+    # padded pivot updates cost more than the matmuls they fuse away) —
+    # kept as an option for other regimes.
     """One full backward sweep at a given regularization.
 
     Returns (dU, K, G0, H0, dV_1, dV_2, success).

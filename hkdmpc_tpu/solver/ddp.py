@@ -195,10 +195,14 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
             feas2 <= opt.dynamics_feas_thresh)
         stop_inner = jnp.logical_or(early, jnp.logical_or(late, bw_failed))
 
-        # trace buffering (skipped on early exit — MultiPhaseDDP.cpp:340-343)
+        # trace buffering — skipped on the early exit (cpp:340-343) AND on
+        # the late-convergence break, which fires before the buffer push
+        # (cpp:358-371)
         tr = c["traces"]
-        do_trace = jnp.logical_and(jnp.logical_not(early),
-                                   jnp.logical_not(bw_failed))
+        do_trace = jnp.logical_and(
+            jnp.logical_not(early),
+            jnp.logical_and(jnp.logical_not(bw_failed),
+                            jnp.logical_not(late)))
         n = tr["n"]
         tr = dict(
             cost=jnp.where(do_trace, tr["cost"].at[n].set(cost2), tr["cost"]),

@@ -1,0 +1,464 @@
+"""A deliberately naive, per-phase numpy implementation of the reference
+HS-DDP solver — an independent oracle for the flattened TPU solver.
+
+Mirrors the C++ structure statement-for-statement (deque of phases, per-step
+loops, shared mutable trajectories): MultiPhaseDDP.cpp solve/rollout/sweep/
+line_search, SinglePhase.cpp, ConstraintsBase.h. Uses the (golden-verified)
+JAX model functions in f64 for dynamics/FK so any trace mismatch against the
+flattened solver isolates *solver* logic, not the model.
+
+Test-only code: clarity over speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hkdmpc_tpu.models import hkd
+
+
+def _np(f, *args):
+    return np.asarray(f(*[jnp.asarray(a, jnp.float64) for a in args]))
+
+
+class PhaseRef:
+    def __init__(self, horizon, contact, contact_next, td_mask, ss_on,
+                 xr, ur, foot_r, cparams, has_tconstr=True):
+        h = self.horizon = horizon
+        self.contact = np.asarray(contact, float)
+        self.contact_next = np.asarray(contact_next, float)
+        self.td_mask = np.asarray(td_mask, float)
+        self.ss = ss_on
+        self.xr = xr          # (h+1, 24)
+        self.ur = ur          # (h+1, 24)
+        self.foot_r = foot_r  # (h+1, 12)
+        self.Xbar = xr.copy()
+        self.X = xr.copy()
+        self.Ubar = np.zeros((h, 24))
+        self.U = np.zeros((h, 24))
+        self.Xsim = np.zeros((h + 1, 24))
+        self.defect = np.zeros((h + 1, 24))
+        self.defect_bar = np.zeros((h + 1, 24))
+        self.dU = np.zeros((h, 24))
+        self.K = np.zeros((h, 24, 24))
+        self.dX = np.zeros((h + 1, 24))
+        self.G = np.zeros((h + 1, 24))
+        self.H = np.zeros((h + 1, 24, 24))
+        self.A = np.zeros((h, 24, 24))
+        self.B = np.zeros((h, 24, 24))
+        self.rc = [dict() for _ in range(h)]
+        self.tc = dict()
+        # constraints
+        self.reb_delta = np.full((h, 20), cparams.grf_reb.delta)
+        self.reb_delta_min = np.full((h, 20), cparams.grf_reb.delta_min)
+        self.reb_eps = np.full((h, 20), cparams.grf_reb.eps)
+        self.g = np.zeros((h, 20))
+        self.h_td = np.zeros(4)
+        self.al_lambda = np.full(4, cparams.td_al.lambda_)
+        self.al_sigma = np.full(4, cparams.td_al.sigma)
+        self.al_sigma_max = cparams.td_al.sigma_max
+        self.has_tconstr = has_tconstr
+
+    # --- model pieces ------------------------------------------------------
+
+    def dynamics(self, x, u, dt):
+        return _np(hkd.dynamics, x, u, self.contact, np.float64(dt))
+
+    def dyn_jac(self, x, u, dt):
+        A, B = hkd.dynamics_jacobians_analytic(
+            jnp.asarray(x), jnp.asarray(u), jnp.asarray(self.contact),
+            jnp.float64(dt))
+        return np.asarray(A), np.asarray(B)
+
+    def resetmap(self, x):
+        return _np(hkd.reset_map, x, self.contact, self.contact_next)
+
+    def resetmap_partial(self, x):
+        return np.asarray(hkd.reset_map_jacobian(
+            jnp.asarray(x), jnp.asarray(self.contact),
+            jnp.asarray(self.contact_next)))
+
+    # --- costs (HKDCost.h / SinglePhaseInterface.cpp) ----------------------
+
+    def q_diag(self):
+        q = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5] + [0.0] * 12)
+        for l in range(4):
+            q[12 + 3 * l: 15 + 3 * l] = 0.2 * (1 - self.contact[l])
+        return q
+
+    def qf_diag(self):
+        scale = np.array([1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1]
+                         + [.01] * 12)
+        return 20.0 * scale * self.q_diag()
+
+    R_DIAG = np.array([0.2] * 12 + [0.1] * 12)
+
+    def footreg(self, x, k):
+        c12 = np.repeat(self.contact, 3)
+        W = 20.0 * np.tile([3.0, 1.0, 0.0], 4) * c12
+        prel = x[12:24] - np.tile(x[3:6], 4)
+        prel_r = self.foot_r[k] - np.tile(self.xr[k][3:6], 4)
+        d = prel - prel_r
+        J = np.zeros((12, 24))
+        J[:, 12:24] = np.diag(c12)
+        J[:, 3:6] = -np.tile(np.eye(3), (4, 1)) * c12[:, None]
+        return d, W, J
+
+    def running_cost(self, x, u, k, dt):
+        dx = x - self.xr[k]
+        du = u - self.ur[k]
+        d, W, _ = self.footreg(x, k)
+        return dt * 0.5 * (dx @ (self.q_diag() * dx) + du @ (self.R_DIAG * du)
+                           + d @ (W * d))
+
+    def terminal_cost(self, x):
+        k = self.horizon
+        dx = x - self.xr[k]
+        d, W, _ = self.footreg(x, k)
+        return 0.5 * dx @ (self.qf_diag() * dx) + 10.0 * d @ (W * d)
+
+    # --- GRF constraint + ReB ---------------------------------------------
+
+    A_LEG = np.array([[0, 0, 1.], [-1, 0, .7], [1, 0, .7], [0, -1, .7],
+                      [0, 1, .7]])
+
+    def grf_rows(self, u):
+        g = np.zeros(20)
+        for l in range(4):
+            g[5 * l:5 * l + 5] = self.A_LEG @ u[3 * l:3 * l + 3]
+        mask = np.repeat(self.contact, 5)
+        return g * mask + (1 - mask), mask
+
+    def reb_value(self, g, k):
+        out = 0.0
+        for i in range(20):
+            if self.contact[i // 5] == 0:
+                continue
+            delta, eps = self.reb_delta[k][i], self.reb_eps[k][i]
+            if g[i] > delta:
+                out += eps * (-np.log(g[i]))
+            else:
+                out += eps * (0.5 * (((g[i] - 2 * delta) / delta) ** 2 - 1)
+                              - np.log(delta))
+        return out
+
+    def touchdown(self, x):
+        h = np.zeros(4)
+        for l in range(4):
+            if self.td_mask[l]:
+                pf = _np(lambda p, e, q: hkd.foot_position(p, e, q, l),
+                         x[3:6], x[0:3], x[12 + 3 * l:15 + 3 * l])
+                h[l] = pf[2]
+        return h
+
+    def al_cost(self, h):
+        return float(np.sum(self.td_mask * (0.5 * self.al_sigma * h * h
+                                            + self.al_lambda * h)))
+
+
+class NaiveHSDDP:
+    """Direct mirror of MultiPhaseDDP<double> over PhaseRef objects."""
+
+    def __init__(self, phases, x0, dt, opt):
+        self.phases = phases
+        self.x0 = np.asarray(x0, float)
+        self.dt = dt
+        self.opt = opt
+        self.cost_trace = []
+        self.feas_trace = []
+
+    # --- forward (MultiPhaseDDP::hybrid_rollout + SinglePhase) ------------
+
+    def hybrid_rollout(self, eps):
+        xinit = self.x0.copy()
+        xsim_init = self.x0.copy()
+        ok = True
+        for i, ph in enumerate(self.phases):
+            if i > 0:
+                prev = self.phases[i - 1]
+                xinit = prev.resetmap(prev.X[-1])
+                xsim_init = prev.resetmap(prev.Xsim[-1])
+            ph.Xsim[0] = xsim_init
+            ph.X[0] = ph.Xbar[0] + eps * ph.dX[0] if ph.ss else xinit
+            for k in range(ph.horizon):
+                ph.U[k] = (ph.Ubar[k] + eps * ph.dU[k]
+                           + ph.K[k] @ (ph.X[k] - ph.Xbar[k]))
+                ph.Xsim[k + 1] = ph.dynamics(ph.X[k], ph.U[k], self.dt)
+                if np.linalg.norm(ph.Xsim[k + 1]) > 1e6:
+                    ok = False
+                if self.opt.MS and ph.ss:
+                    ph.X[k + 1] = ph.Xbar[k + 1] + eps * ph.dX[k + 1]
+                else:
+                    ph.X[k + 1] = ph.Xsim[k + 1]
+                ph.g[k], _ = ph.grf_rows(ph.U[k])
+            ph.h_td = ph.touchdown(ph.X[ph.horizon])
+            ph.defect = ph.Xsim - ph.X
+        return ok
+
+    def compute_cost(self):
+        total = 0.0
+        for ph in self.phases:
+            for k in range(ph.horizon):
+                l = ph.running_cost(ph.X[k], ph.U[k], k, self.dt)
+                if self.opt.ReB_active:
+                    g_raw = np.zeros(20)
+                    for l4 in range(4):
+                        g_raw[5 * l4:5 * l4 + 5] = (
+                            ph.A_LEG @ ph.U[k][3 * l4:3 * l4 + 3])
+                    l += self.dt * ph.reb_value(g_raw, k)
+                total += l
+            phi = ph.terminal_cost(ph.X[ph.horizon])
+            if self.opt.AL_active:
+                phi += ph.al_cost(ph.h_td)
+            total += phi
+        return total
+
+    def feasibility(self):
+        s = 0.0
+        for ph in self.phases:
+            s += np.sum(ph.defect ** 2)
+        return np.sqrt(s)
+
+    def max_violations(self):
+        maxp, maxt = 0.0, 0.0
+        for ph in self.phases:
+            maxp = min(maxp, ph.g.min() if ph.g.size else 0.0)
+            maxt = max(maxt, np.abs(ph.h_td * ph.td_mask).max())
+        return maxp, maxt
+
+    # --- LQ + backward -----------------------------------------------------
+
+    def lq_approximation(self):
+        for ph in self.phases:
+            for k in range(ph.horizon):
+                x, u = ph.X[k], ph.U[k]
+                ph.A[k], ph.B[k] = ph.dyn_jac(x, u, self.dt)
+                dx = x - ph.xr[k]
+                du = u - ph.ur[k]
+                d, W, J = ph.footreg(x, k)
+                rc = ph.rc[k]
+                rc["lx"] = self.dt * (ph.q_diag() * dx + J.T @ (W * d))
+                rc["lu"] = self.dt * (ph.R_DIAG * du)
+                rc["lxx"] = self.dt * (np.diag(ph.q_diag())
+                                       + J.T @ (W[:, None] * J))
+                rc["luu"] = self.dt * np.diag(ph.R_DIAG)
+                rc["lux"] = np.zeros((24, 24))
+                if self.opt.ReB_active:
+                    g_raw = np.zeros(20)
+                    gu = np.zeros((20, 24))
+                    for l4 in range(4):
+                        g_raw[5 * l4:5 * l4 + 5] = (
+                            ph.A_LEG @ u[3 * l4:3 * l4 + 3])
+                        gu[5 * l4:5 * l4 + 5, 3 * l4:3 * l4 + 3] = ph.A_LEG
+                    for i in range(20):
+                        if ph.contact[i // 5] == 0:
+                            continue
+                        delta, epsb = ph.reb_delta[k][i], ph.reb_eps[k][i]
+                        if g_raw[i] > delta:
+                            d1 = -1.0 / g_raw[i]
+                            d2 = 1.0 / g_raw[i] ** 2
+                        else:
+                            d1 = (g_raw[i] - 2 * delta) / delta ** 2
+                            d2 = 1.0 / delta ** 2
+                        rc["lu"] += self.dt * epsb * d1 * gu[i]
+                        rc["luu"] += self.dt * epsb * d2 * np.outer(gu[i],
+                                                                    gu[i])
+            x = ph.X[ph.horizon]
+            k = ph.horizon
+            dx = x - ph.xr[k]
+            d, W, J = ph.footreg(x, k)
+            ph.tc["phix"] = ph.qf_diag() * dx + 20.0 * J.T @ (W * d)
+            ph.tc["phixx"] = np.diag(ph.qf_diag()) + 20.0 * J.T @ (W[:, None] * J)
+            if self.opt.AL_active:
+                h = ph.touchdown(x)
+                for l in range(4):
+                    if not ph.td_mask[l]:
+                        continue
+                    hx = np.asarray(hkd.foot_height_jacobian(
+                        jnp.asarray(x), l))
+                    sig, lam = ph.al_sigma[l], ph.al_lambda[l]
+                    ph.tc["phix"] += (sig * h[l] + lam) * hx
+                    ph.tc["phixx"] += ((sig * (1 + h[l]) + lam)
+                                       * np.outer(hx, hx))
+
+    def backward_sweep(self, reg):
+        dV1 = dV2 = 0.0
+        Gp = np.zeros(24)
+        Hp = np.zeros((24, 24))
+        for i in range(len(self.phases) - 1, -1, -1):
+            ph = self.phases[i]
+            if i < len(self.phases) - 1:
+                Px = ph.resetmap_partial(ph.X[-1])
+                nxt = self.phases[i + 1]
+                Gp = Px.T @ nxt.G[0]
+                Hp = Px.T @ nxt.H[0] @ Px
+            else:
+                Gp = np.zeros(24)
+                Hp = np.zeros((24, 24))
+            ph.G[ph.horizon] = ph.tc["phix"] + Gp
+            ph.H[ph.horizon] = ph.tc["phixx"] + Hp
+            for k in range(ph.horizon - 1, -1, -1):
+                rc = ph.rc[k]
+                Gn = ph.G[k + 1] + ph.H[k + 1] @ ph.defect[k + 1]
+                Hn = ph.H[k + 1]
+                Qx = rc["lx"] + ph.A[k].T @ Gn
+                Qu = rc["lu"] + ph.B[k].T @ Gn
+                Qxx = rc["lxx"] + ph.A[k].T @ Hn @ ph.A[k]
+                Quu = rc["luu"] + ph.B[k].T @ Hn @ ph.B[k]
+                Qux = rc["lux"] + ph.B[k].T @ Hn @ ph.A[k]
+                Qxx = Qxx + reg * np.eye(24)
+                Quu = Quu + reg * np.eye(24)
+                try:
+                    np.linalg.cholesky(Quu - 1e-9 * np.eye(24))
+                except np.linalg.LinAlgError:
+                    return None
+                Quu_inv = np.linalg.inv(Quu)
+                Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
+                Qxx = 0.5 * (Qxx + Qxx.T)
+                ph.dU[k] = -Quu_inv @ Qu
+                ph.K[k] = -Quu_inv @ Qux
+                ph.G[k] = Qx - Qux.T @ Quu_inv @ Qu
+                ph.H[k] = Qxx - Qux.T @ Quu_inv @ Qux
+                dv_k = -Qu @ ph.dU[k]
+                dV1 -= dv_k
+                dV2 += dv_k
+            ph.G[0] = ph.G[0] + ph.H[0] @ ph.defect[0]
+        return dV1, dV2
+
+    def backward_sweep_regularized(self, reg):
+        while True:
+            out = self.backward_sweep(reg)
+            if out is not None:
+                break
+            reg = max(reg * self.opt.update_regularization, 1e-3)
+            if reg > 1e2:
+                return None, reg
+        reg_out = reg / 20.0
+        if reg_out < 1e-6:
+            reg_out = 0.0
+        return out, reg_out
+
+    def linear_rollout(self, eps):
+        dV1 = dV2 = 0.0
+        dx = np.zeros(24)
+        for i, ph in enumerate(self.phases):
+            if i > 0:
+                prev = self.phases[i - 1]
+                Px = prev.resetmap_partial(prev.X[-1])
+                dx = Px @ prev.dX[-1]
+            ph.dX[0] = dx + eps * ph.defect[0]
+            for k in range(ph.horizon):
+                rc = ph.rc[k]
+                du = eps * ph.dU[k] + ph.K[k] @ ph.dX[k]
+                ph.dX[k + 1] = (ph.A[k] @ ph.dX[k] + ph.B[k] @ du
+                                + eps * ph.defect[k + 1])
+                dV1 += rc["lx"] @ ph.dX[k] + rc["lu"] @ du
+                dV2 += (ph.dX[k] @ rc["lxx"] @ ph.dX[k]
+                        + du @ rc["luu"] @ du + du @ rc["lux"] @ ph.dX[k])
+            dxk = ph.dX[ph.horizon]
+            dV1 += ph.tc["phix"] @ dxk
+            dV2 += dxk @ ph.tc["phixx"] @ dxk
+            dx = ph.dX[ph.horizon]
+        return dV1, dV2
+
+    def update_nominal(self):
+        for ph in self.phases:
+            ph.Xbar = ph.X.copy()
+            ph.Ubar = ph.U.copy()
+            ph.defect_bar = ph.defect.copy()
+
+    # --- solve (MultiPhaseDDP::solve) --------------------------------------
+
+    def solve(self):
+        opt = self.opt
+        self.hybrid_rollout(0.0)
+        self.update_nominal()
+        cost = self.compute_cost()
+        feas = self.feasibility()
+        self.cost_trace = [cost]
+        self.feas_trace = [feas]
+        maxp, maxt = self.max_violations()
+
+        for iter_ou in range(opt.max_AL_iter):
+            maxt_prev, maxp_prev = maxt, maxp
+            reg = 0.0
+            for iter_in in range(opt.max_DDP_iter):
+                cost = self.compute_cost()
+                feas = self.feasibility()
+                self.lq_approximation()
+                out, reg = self.backward_sweep_regularized(reg)
+                if out is None:
+                    return dict(failed=True)
+                dV1, dV2 = out
+                if opt.MS:
+                    dV1, dV2 = self.linear_rollout(1.0)
+                dv_abs = abs(dV1 + 0.5 * dV2)
+                rho = (dv_abs / ((1 - opt.merit_scale) * feas)
+                       + opt.merit_offset) if feas > opt.dynamics_feas_thresh \
+                    else 0.0
+                merit = cost + rho * feas
+                cost_prev, merit_prev = cost, merit
+                if dv_abs < opt.cost_thresh and feas <= opt.dynamics_feas_thresh:
+                    break
+                # line search
+                feas_prev = feas
+                eps = 1.0
+                success = False
+                while eps > 1e-3:
+                    ok = self.hybrid_rollout(eps)
+                    cost = self.compute_cost()
+                    feas = self.feasibility()
+                    merit = cost + rho * feas
+                    exp_cost = eps * dV1 + 0.5 * eps * eps * dV2
+                    exp_merit = exp_cost - eps * rho * feas_prev
+                    if merit <= merit_prev + opt.gamma * exp_merit and ok:
+                        success = True
+                        break
+                    eps *= opt.alpha
+                if success:
+                    self.update_nominal()
+                else:
+                    cost = cost_prev
+                    merit = merit_prev
+                if (abs((cost_prev - cost) / cost_prev) < opt.cost_thresh
+                        and feas <= opt.dynamics_feas_thresh):
+                    maxp, maxt = self.max_violations()
+                    break  # reference breaks BEFORE buffering (cpp:359)
+                maxp, maxt = self.max_violations()
+                self.cost_trace.append(cost)
+                self.feas_trace.append(feas)
+            # AL / ReB updates
+            if opt.AL_active:
+                for ph in self.phases:
+                    for l in range(4):
+                        if not ph.td_mask[l]:
+                            continue
+                        habs = abs(ph.h_td[l])
+                        if habs < opt.tconstr_thresh:
+                            continue
+                        if habs > 0.005:
+                            ph.al_sigma[l] = min(
+                                ph.al_sigma[l] * opt.update_penalty,
+                                ph.al_sigma_max)
+                        else:
+                            ph.al_lambda[l] += ph.h_td[l] * ph.al_sigma[l]
+            if opt.ReB_active:
+                for ph in self.phases:
+                    for k in range(ph.horizon):
+                        for i in range(20):
+                            if ph.g[k][i] > -opt.pconstr_thresh:
+                                continue
+                            ph.reb_eps[k][i] = (ph.reb_eps[k][i]
+                                                * opt.update_ReB)
+                            ph.reb_delta[k][i] = max(
+                                ph.reb_delta[k][i] * opt.update_relax,
+                                ph.reb_delta_min[k][i])
+            feas_ok = feas <= opt.dynamics_feas_thresh
+            if (maxt < opt.tconstr_thresh and abs(maxp) < opt.pconstr_thresh
+                    and feas_ok):
+                break
+            if (abs(maxt - maxt_prev) < 1e-4 and abs(maxp - maxp_prev) < 1e-4
+                    and feas_ok):
+                break
+        return dict(failed=False, cost=cost, feas=feas, maxp=maxp, maxt=maxt)

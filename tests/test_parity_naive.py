@@ -1,0 +1,74 @@
+"""Full-solver cross-validation: the flattened TPU solver vs an independent
+naive per-phase implementation mirroring the reference C++ statement-for-
+statement (tests/reference_solver.py).
+
+If the two agree on the *entire iteration trace* (costs, feasibilities) and
+the final controls/gains, the flattened masked formulation is a faithful
+re-expression of the reference algorithm — the strongest parity evidence
+available without building the C++ (no Eigen in this environment).
+"""
+import numpy as np
+import pytest
+
+from tests.test_solver import make_trot
+from tests.reference_solver import NaiveHSDDP, PhaseRef
+from hkdmpc_tpu.solver import ddp
+
+
+def build_naive(pb, x0, opt):
+    phases = []
+    for i, ph in enumerate(pb.phases):
+        h = ph.horizon
+        xr = np.zeros((h + 1, 24))
+        ur = np.zeros((h + 1, 24))
+        foot_r = np.zeros((h + 1, 12))
+        for k in range(h + 1):
+            t_rel = ph.start_time - pb.phases[0].start_time + k * pb.dt_sim
+            ridx = pb.ref._index(t_rel)
+            xr[k] = pb.ref.hkd_state_at(ridx)
+            ur[k] = pb.ref.hkd_control_at(ridx)
+            foot_r[k] = pb.ref.foot_placements[ridx]
+        phases.append(PhaseRef(
+            horizon=h, contact=ph.contact, contact_next=ph.next_contact,
+            td_mask=ph.td_mask, ss_on=pb._ss_on(i), xr=xr, ur=ur,
+            foot_r=foot_r, cparams=pb.cparams))
+    return NaiveHSDDP(phases, x0, pb.dt_sim, opt)
+
+
+def test_flattened_solver_matches_naive_reference():
+    # 0.45 s horizon: stand, two-leg stance, flight (touchdown constraints +
+    # reset maps), two-leg stance — all solver paths exercised
+    pb, x0, opt = make_trot(plan_duration=0.45)
+    assert any(ph.td_mask.any() for ph in pb.phases)
+
+    naive = build_naive(pb, x0, opt)
+    out = naive.solve()
+    assert not out["failed"]
+
+    prob, state = pb.build(x0)
+    res = ddp.solve_jit(prob, state, opt)
+
+    ct = np.asarray(res.cost_trace)
+    ct = ct[~np.isnan(ct)]
+    ft = np.asarray(res.feas_trace)[: len(ct)]
+
+    # identical iteration-by-iteration traces
+    assert len(ct) == len(naive.cost_trace), (ct, naive.cost_trace)
+    np.testing.assert_allclose(ct, naive.cost_trace, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(ft, naive.feas_trace, rtol=1e-5, atol=1e-8)
+
+    # identical final solution
+    assert abs(float(res.cost) - out["cost"]) < 1e-6 * max(1.0, out["cost"])
+    assert abs(float(res.dyn_feas) - out["feas"]) < 1e-6
+    assert abs(float(res.max_tconstr) - out["maxt"]) < 1e-8
+
+    # controls and gains, phase by phase
+    U_flat = np.asarray(res.state.Ubar)
+    K_flat = np.asarray(res.state.K)
+    t = 0
+    for ph in naive.phases:
+        np.testing.assert_allclose(U_flat[t:t + ph.horizon], ph.Ubar,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(K_flat[t:t + ph.horizon], ph.K,
+                                   rtol=1e-4, atol=1e-5)
+        t += ph.horizon + 1  # skip the RESET transition slot
