@@ -311,10 +311,13 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     spec.dynamics_tbatch = hkd_tminor.dynamics_tbatch
     spec.reset_tbatch = hkd_tminor.reset_tbatch
     if not swing_constraint:
-        # the T-minor cost paths hardcode the default term/constraint set
+        # the T-minor cost path hardcodes the default term/constraint set.
+        # NOTE: the T-minor *partials* variants exist (hkd_tminor.running/
+        # terminal_partials_tbatch) but measured slower end-to-end than the
+        # generic vmapped partials (401 vs 312 ms at batch 1024 on v5e) —
+        # their scatter-assembled outputs feed the backward scan in a worse
+        # layout — so they are not attached by default.
         spec.compute_cost_tbatch = hkd_tminor.compute_cost_tbatch
-        spec.running_partials_tbatch = hkd_tminor.running_partials_tbatch
-        spec.terminal_partials_tbatch = hkd_tminor.terminal_partials_tbatch
     if not swing_constraint:
         _DEFAULT = spec
     return spec
