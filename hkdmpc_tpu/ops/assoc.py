@@ -67,8 +67,10 @@ def linear_rollout_assoc(prob, state, lq: LQData, defect, eps):
                            + jnp.einsum("ti,ti->t", lq.lu, du)))
     dv2 = jnp.sum(dyn_m * (
         jnp.einsum("ti,tij,tj->t", dxs, lq.lxx, dxs)
-        + jnp.einsum("ti,tij,tj->t", du, lq.luu, du)
-        + jnp.einsum("ti,tij,tj->t", du, lq.lux, dxs)))
+        + jnp.einsum("ti,tij,tj->t", du, lq.luu, du)))
+    if lq.lux is not None:
+        dv2 = dv2 + jnp.sum(dyn_m * jnp.einsum("ti,tij,tj->t", du, lq.lux,
+                                               dxs))
     # terminal contributions at reset source nodes
     dv1 = dv1 + jnp.sum(rst_m * jnp.einsum("ti,ti->t", lq.phix[:-1], dxs))
     dv2 = dv2 + jnp.sum(rst_m * jnp.einsum("ti,tij,tj->t", dxs,

@@ -100,7 +100,9 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
             Qu = lq.lu[t] + lq.B[t].T @ Gn
             Qxx = lq.lxx[t] + lq.A[t].T @ H @ lq.A[t]
             Quu = lq.luu[t] + lq.B[t].T @ H @ lq.B[t]
-            Qux = lq.lux[t] + lq.B[t].T @ H @ lq.A[t]
+            Qux = lq.B[t].T @ H @ lq.A[t]
+            if lq.lux is not None:
+                Qux = Qux + lq.lux[t]
             Qxx = Qxx + regularization * eye
             Quu = Quu + regularization * eye
             if aug_sweep:

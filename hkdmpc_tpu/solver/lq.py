@@ -101,12 +101,15 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
     A, B = fast_ab(prob, X, U)
     is_dyn = prob.is_dyn
 
+    lux_zero = getattr(model, "lux_is_zero", False)
+
     run_fast = getattr(model, "running_partials_tbatch", None)
     term_fast = getattr(model, "terminal_partials_tbatch", None)
     if run_fast is not None and term_fast is not None:
         lx, lu, lxx, luu, lux = run_fast(prob, X, U, constr, reb_active)
         phix, phixx = term_fast(prob, X, constr, al_active)
-        return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
+        return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu,
+                      lux=None if lux_zero else lux,
                       phix=phix, phixx=phixx)
 
     def cost_partials(t):
@@ -145,5 +148,6 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
         return m * phix, m * phixx
 
     phix, phixx = jax.vmap(per_node)(jnp.arange(prob.T + 1))
-    return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
+    return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu,
+                  lux=None if lux_zero else lux,
                   phix=phix, phixx=phixx)

@@ -102,6 +102,9 @@ class ModelSpec:
         self.compute_cost_tbatch = None
         self.running_partials_tbatch = None
         self.terminal_partials_tbatch = None
+        # models whose running cost has no u-x cross terms can set this to
+        # skip materializing lux entirely
+        self.lux_is_zero = False
 
     @property
     def n_path_rows(self) -> int:
@@ -307,6 +310,7 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     )
     # horizon-minor fast path for the LQ dynamics/reset jacobians
     spec.build_AB_tminor = build_AB_tminor
+    spec.lux_is_zero = True
     from hkdmpc_tpu.ops import hkd_tminor
     spec.dynamics_tbatch = hkd_tminor.dynamics_tbatch
     spec.reset_tbatch = hkd_tminor.reset_tbatch

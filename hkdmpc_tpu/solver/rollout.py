@@ -254,7 +254,9 @@ def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
         du = eps * state.dU[t] + state.K[t] @ dx
         dx_dyn = lq.A[t] @ dx + lq.B[t] @ du + eps * defect[t + 1]
         dv1_dyn = lq.lx[t] @ dx + lq.lu[t] @ du
-        dv2_dyn = dx @ lq.lxx[t] @ dx + du @ lq.luu[t] @ du + du @ lq.lux[t] @ dx
+        dv2_dyn = dx @ lq.lxx[t] @ dx + du @ lq.luu[t] @ du
+        if lq.lux is not None:
+            dv2_dyn = dv2_dyn + du @ lq.lux[t] @ dx
 
         # reset: terminal cost of the source node contributes, then Px
         dv1_rst = lq.phix[t] @ dx

@@ -137,7 +137,9 @@ class LQData:
     lu: jnp.ndarray     # (T, 24)
     lxx: jnp.ndarray    # (T, 24, 24)
     luu: jnp.ndarray    # (T, 24, 24)
-    lux: jnp.ndarray    # (T, 24, 24)
+    lux: object         # (T, 24, 24) or None when the model has no u-x cross
+                        # cost terms (the HKD model: lux is identically zero,
+                        # SinglePhaseInterface.cpp lux.setZero)
     phix: jnp.ndarray   # (T+1, 24)   terminal gradient per node (masked)
     phixx: jnp.ndarray  # (T+1, 24, 24)
 

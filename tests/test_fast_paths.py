@@ -58,7 +58,7 @@ def test_lq_tminor_matches_generic():
                                 fast)
     b = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True,
                                 slow)
-    for name in ("A", "B", "lx", "lu", "lxx", "luu", "lux", "phix", "phixx"):
+    for name in ("A", "B", "lx", "lu", "lxx", "luu", "phix", "phixx"):
         np.testing.assert_allclose(getattr(a, name), getattr(b, name),
                                    atol=1e-11, err_msg=name)
 
