@@ -70,54 +70,6 @@ def _footreg_terms(x, contact, xr, foot_r, dtype):
 # Running cost: value and partials per DYN transition
 # --------------------------------------------------------------------------
 
-def running_cost(x, u, contact, xr, ur, foot_r, dt):
-    """l = dt * [0.5 dx'Q dx + 0.5 du'R du + 0.5 d_prel'Qfoot d_prel]."""
-    dtype = x.dtype
-    dx = x - xr
-    du = u - ur
-    l = 0.5 * jnp.sum(q_diag(contact, dtype) * dx * dx)
-    l += 0.5 * jnp.sum(r_diag(dtype) * du * du)
-    d_prel, qfoot, _ = _footreg_terms(x, contact, xr, foot_r, dtype)
-    l += 0.5 * jnp.sum(qfoot * d_prel * d_prel)
-    return dt * l
-
-
-def running_cost_partials(x, u, contact, xr, ur, foot_r, dt):
-    """(lx, lu, lxx, luu, lux) of the tracking + foot-reg running cost."""
-    dtype = x.dtype
-    dx = x - xr
-    du = u - ur
-    Q = q_diag(contact, dtype)
-    R = r_diag(dtype)
-    d_prel, qfoot, dprel_dx = _footreg_terms(x, contact, xr, foot_r, dtype)
-    lx = dt * (Q * dx + dprel_dx.T @ (qfoot * d_prel))
-    lu = dt * (R * du)
-    lxx = dt * (jnp.diag(Q) + dprel_dx.T @ (qfoot[:, None] * dprel_dx))
-    luu = dt * jnp.diag(R)
-    lux = jnp.zeros((24, 24), dtype)
-    return lx, lu, lxx, luu, lux
-
-
-def terminal_cost(x, term_contact, xr, foot_r):
-    """Phi = 0.5 dx'Qf dx + 10 d_prel'Qfoot d_prel (note: 10, not 5 — the
-    reference's foot-reg terminal cost omits the 1/2; HKDCost.cpp:40-50)."""
-    dtype = x.dtype
-    dx = x - xr
-    phi = 0.5 * jnp.sum(qf_diag(term_contact, dtype) * dx * dx)
-    d_prel, qfoot, _ = _footreg_terms(x, term_contact, xr, foot_r, dtype)
-    phi += 10.0 * jnp.sum(qfoot * d_prel * d_prel)
-    return phi
-
-
-def terminal_cost_partials(x, term_contact, xr, foot_r):
-    dtype = x.dtype
-    dx = x - xr
-    Qf = qf_diag(term_contact, dtype)
-    d_prel, qfoot, dprel_dx = _footreg_terms(x, term_contact, xr, foot_r, dtype)
-    phix = Qf * dx + 20.0 * dprel_dx.T @ (qfoot * d_prel)
-    phixx = jnp.diag(Qf) + 20.0 * dprel_dx.T @ (qfoot[:, None] * dprel_dx)
-    return phix, phixx
-
 
 # --------------------------------------------------------------------------
 # GRF friction-cone path constraint (reference: HKDConstraints.cpp:6-66)
@@ -170,50 +122,9 @@ def reb_derivs(g, delta, eps):
     return eps * d1, eps * d2
 
 
-def grf_reb_cost(u, contact, delta, eps, dt):
-    """dt * sum_i eps_i B(g_i) over active rows (added to running cost;
-    SinglePhase.cpp:370-379)."""
-    g, row_mask = grf_constraints(u, contact)
-    return dt * jnp.sum(row_mask * reb_value(g, delta, eps))
-
-
-def grf_reb_partials(u, contact, delta, eps, dt):
-    """(lu_add (24,), luu_add (24,24)) — Gauss-Newton, as the reference
-    (ConstraintsBase.h:224-263; gu constant so guu = 0)."""
-    g, row_mask = grf_constraints(u, contact)
-    d1, d2 = reb_derivs(g, delta, eps)
-    gu = grf_constraint_jac(u.dtype)                   # (20,24)
-    lu_add = dt * gu.T @ (row_mask * d1)
-    luu_add = dt * gu.T @ ((row_mask * d2)[:, None] * gu)
-    return lu_add, luu_add
-
-
 # --------------------------------------------------------------------------
 # Touchdown terminal constraint + AL (reference: HKDConstraints.cpp:75-171,
 # ConstraintsBase.h:374-399)
 # --------------------------------------------------------------------------
 
-def touchdown_violations(x, td_mask, ground_height=0.0):
-    """h (4,) = foot_z - ground per touchdown leg (masked)."""
-    pf = hkd.foot_positions(x[3:6], x[0:3], x[12:24])
-    return td_mask * (pf[:, 2] - ground_height)
 
-
-def al_cost(h, lam, sigma, td_mask):
-    """sum 0.5 sigma h^2 + lambda h over touchdown legs."""
-    return jnp.sum(td_mask * (0.5 * sigma * h * h + lam * h))
-
-
-def al_partials(x, h, lam, sigma, td_mask):
-    """(phix_add (24,), phixx_add (24,24)). Hessian uses the reference's
-    exact (sigma*(1+h)+lambda) hx hx' form (ConstraintsBase.h:393-397)."""
-    dtype = x.dtype
-    phix = jnp.zeros(24, dtype)
-    phixx = jnp.zeros((24, 24), dtype)
-    for leg in range(4):
-        hx = hkd.foot_height_jacobian(x, leg)
-        w1 = td_mask[leg] * (sigma[leg] * h[leg] + lam[leg])
-        w2 = td_mask[leg] * (sigma[leg] * (1.0 + h[leg]) + lam[leg])
-        phix = phix + w1 * hx
-        phixx = phixx + w2 * jnp.outer(hx, hx)
-    return phix, phixx
