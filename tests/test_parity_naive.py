@@ -35,6 +35,52 @@ def build_naive(pb, x0, opt):
     return NaiveHSDDP(phases, x0, pb.dt_sim, opt)
 
 
+def _assert_match(pb, x0, opt):
+    naive = build_naive(pb, x0, opt)
+    out = naive.solve()
+    assert not out["failed"]
+    prob, state = pb.build(x0)
+    res = ddp.solve_jit(prob, state, opt)
+    ct = np.asarray(res.cost_trace)
+    ct = ct[~np.isnan(ct)]
+    ft = np.asarray(res.feas_trace)[: len(ct)]
+    assert len(ct) == len(naive.cost_trace), (ct, naive.cost_trace)
+    np.testing.assert_allclose(ct, naive.cost_trace, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(ft, naive.feas_trace, rtol=1e-5, atol=1e-8)
+    assert abs(float(res.cost) - out["cost"]) < 1e-6 * max(1.0, out["cost"])
+    assert abs(float(res.dyn_feas) - out["feas"]) < 1e-6
+    return naive, res
+
+
+def test_naive_parity_hop_gait(tmp_path):
+    """Synthesized hop: all-leg flight + simultaneous 4-leg touchdowns —
+    maximal AL/reset activity."""
+    from hkdmpc_tpu.reference.refgen import GaitSynthesizer
+    from hkdmpc_tpu.reference import QuadReference
+    from hkdmpc_tpu.config import load_constraint_params, load_ddp_setting
+    from hkdmpc_tpu.solver.problem import HKDProblem
+    from tests.test_solver import REF_CPARAMS, REF_SETTINGS
+
+    path = GaitSynthesizer().write(str(tmp_path / "hop.csv"),
+                                   [("hop", 1.0, 0.2)], lead_in=0.1)
+    ref = QuadReference.from_file(path)
+    pb = HKDProblem(ref, plan_duration=0.4,
+                    cparams=load_constraint_params(REF_CPARAMS))
+    pb.initialization()
+    assert any((ph.contact == 0).all() for ph in pb.phases)  # flight phase
+    x0 = np.zeros(24)
+    x0[5] = 0.25
+    x0[12:24] = np.tile([0.0, -0.8, 1.6], 4)
+    import jax.numpy as jnp
+    from hkdmpc_tpu.models import hkd as hkd_mod
+    qd = hkd_mod.compute_hkd_state(
+        jnp.array(x0[:3]), jnp.array(x0[3:6]), jnp.array(x0[12:24]),
+        jnp.array(pb.phases[0].contact, dtype=float))
+    x0[12:24] = np.asarray(qd)
+    opt = load_ddp_setting(REF_SETTINGS)
+    _assert_match(pb, x0, opt)
+
+
 def test_flattened_solver_matches_naive_reference():
     # 0.45 s horizon: stand, two-leg stance, flight (touchdown constraints +
     # reset maps), two-leg stance — all solver paths exercised
