@@ -148,9 +148,58 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
     return dU, K, G0, H0, dV_1, dV_2, success
 
 
+# ---------------------------------------------------------------------------
+# custom_vmap dispatch: under vmap(solve), the batched rule runs the whole
+# sweep as one Pallas kernel (ops/pallas_backward.py) with batch in the TPU
+# lane dimension; unbatched calls keep the faithful scan. Enabled with
+# ddp.solve(pallas_backward=True) (f32 only).
+# ---------------------------------------------------------------------------
+
+from jax.custom_batching import custom_vmap as _custom_vmap
+
+
+@_custom_vmap
+def riccati_backward(kind, A, B, lxx, luu, lx, lu, defect, phix, phixx,
+                     reg, last_node):
+    """Array-interface backward sweep: returns (dU, K, dv1, dv2, ok)."""
+    lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
+                phix=phix, phixx=phixx)
+
+    class _P:  # minimal prob view for backward_sweep
+        pass
+    p = _P()
+    p.kind = kind
+    p.T = kind.shape[0]
+    dU, K, G0, H0, dv1, dv2, ok = backward_sweep(p, lq, defect, reg,
+                                                 last_node, aug_sweep=True)
+    return dU, K, dv1, dv2, ok
+
+
+@riccati_backward.def_vmap
+def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
+                              lx, lu, defect, phix, phixx, reg, last_node):
+    from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas
+
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    args = [bc(a, b) for a, b in zip(
+        (kind, A, B, lxx, luu, lx, lu, defect, phix, phixx, last_node),
+        (in_batched[0], in_batched[1], in_batched[2], in_batched[3],
+         in_batched[4], in_batched[5], in_batched[6], in_batched[7],
+         in_batched[8], in_batched[9], in_batched[11]))]
+    reg_s = reg[0] if in_batched[10] else reg  # reg is a shared scalar
+    interpret = jax.default_backend() == "cpu"  # TPU pallas; interpret on CPU
+    out = backward_sweep_pallas(args[0], args[1], args[2], args[3], args[4],
+                                args[5], args[6], args[7], args[8], args[9],
+                                reg_s, args[10], interpret=interpret)
+    return out, (True, True, True, True, True)
+
+
 def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
                                regularization, update_regularization,
-                               last_node, aug_sweep: bool = True):
+                               last_node, aug_sweep: bool = True,
+                               use_pallas: bool = False):
     """Retry the sweep with growing regularization until Quu is PSD everywhere
     or the regularization exceeds REG_MAX (then the solve fails).
 
@@ -166,8 +215,13 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
 
     def body(carry):
         reg, out, ok, failed = carry
-        dU, K, G0, H0, dv1, dv2, ok_new = backward_sweep(
-            prob, lq, defect, reg, last_node, aug_sweep)
+        if use_pallas:
+            dU, K, dv1, dv2, ok_new = riccati_backward(
+                prob.kind, lq.A, lq.B, lq.lxx, lq.luu, lq.lx, lq.lu,
+                defect, lq.phix, lq.phixx, reg, last_node)
+        else:
+            dU, K, G0, H0, dv1, dv2, ok_new = backward_sweep(
+                prob, lq, defect, reg, last_node, aug_sweep)
         reg_next = jnp.maximum(reg * update_regularization, REG_MIN_STEP)
         failed_new = jnp.logical_and(jnp.logical_not(ok_new), reg_next > REG_MAX)
         reg_new = jnp.where(ok_new, reg, reg_next)

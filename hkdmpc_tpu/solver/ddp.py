@@ -67,7 +67,8 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           parallel_rollout: bool = False, model=None,
-          assoc_linear: bool = False, aug_sweep: bool = True) -> SolveResult:
+          assoc_linear: bool = False, aug_sweep: bool = True,
+          pallas_backward: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -146,7 +147,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \
             backward.backward_sweep_regularized(
                 prob, lqd, c["defect"], reg, opt.update_regularization,
-                last_node, aug_sweep)
+                last_node, aug_sweep, pallas_backward)
         st = _replace(st, dU=dU, K=K)
 
         if ms:
@@ -278,10 +279,10 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep"))
+                     "aug_sweep", "pallas_backward"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes
 solve_batch = jax.jit(
-    jax.vmap(solve, in_axes=(0, 0, None, None, None, None, None)),
+    jax.vmap(solve, in_axes=(0, 0, None, None, None, None, None, None)),
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep"))
+                     "aug_sweep", "pallas_backward"))
