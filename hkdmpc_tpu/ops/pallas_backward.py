@@ -62,9 +62,9 @@ def _kernel(A_ref, B_ref, lxx_ref, luu_ref, lx_ref, lu_ref,
         dv2_s[...] = jnp.zeros_like(dv2_s)
         ok_s[...] = jnp.ones_like(ok_s)
 
-    is_dyn = isdyn_ref[0]        # (BB,)
-    is_rst = isrst_ref[0]
-    is_last = islast_ref[0]
+    is_dyn = isdyn_ref[0, 0]     # (BB,)
+    is_rst = isrst_ref[0, 0]
+    is_last = islast_ref[0, 0]
     reg = reg_ref[0, 0]
 
     A = A_ref[0]                 # (24,24,BB): A[j,i,b] = jacobian row j col i
@@ -144,9 +144,9 @@ def _kernel(A_ref, B_ref, lxx_ref, luu_ref, lx_ref, lu_ref,
     dv2_s[...] = dv2_s[...] + is_dyn[None, :] * dv[None, :]
     ok_s[...] = ok_s[...] * jnp.where(is_dyn[None, :] > 0, ok[None, :], 1.0)
 
-    dv1_ref[...] = dv1_s[0]
-    dv2_ref[...] = dv2_s[0]
-    ok_ref[...] = ok_s[0]
+    dv1_ref[0] = dv1_s[0]
+    dv2_ref[0] = dv2_s[0]
+    ok_ref[0] = ok_s[0]
 
 
 def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
@@ -176,18 +176,17 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
     phixx_m = bm(phixx)
 
     from hkdmpc_tpu.solver.structs import DYN, RESET
-    is_dyn = bm((kind_b == DYN).astype(jnp.float32))
-    is_rst = bm((kind_b == RESET).astype(jnp.float32))
+    is_dyn = bm((kind_b == DYN).astype(jnp.float32))[:, None, :]
+    is_rst = bm((kind_b == RESET).astype(jnp.float32))[:, None, :]
     node_idx = jnp.arange(T + 1)[None, :]
     is_last = bm((node_idx == last_node_b[:, None]).astype(jnp.float32))
-    is_last_t = is_last[1:]
+    is_last_t = is_last[1:][:, None, :]
 
     reg_arr = jnp.full((T, 1), reg, jnp.float32)
 
     nb = Bp // BB
     rev4 = lambda bi, ti: (T - 1 - ti, 0, 0, bi)
     rev3 = lambda bi, ti: (T - 1 - ti, 0, bi)
-    rev2 = lambda bi, ti: (T - 1 - ti, bi)
     nxt3 = lambda bi, ti: (T - ti, 0, bi)
     nxt4 = lambda bi, ti: (T - ti, 0, 0, bi)
 
@@ -206,18 +205,21 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
             pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, 24, BB), nxt4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda bi, ti: (T - 1 - ti, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB,), lambda bi, ti: (bi,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB,), lambda bi, ti: (bi,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB,), lambda bi, ti: (bi,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), lambda bi, ti: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), lambda bi, ti: (0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), lambda bi, ti: (0, bi),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((24, BB), jnp.float32),
@@ -235,9 +237,9 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
         out_shape=[
             jax.ShapeDtypeStruct((T, 24, 24, Bp), jnp.float32),
             jax.ShapeDtypeStruct((T, 24, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp,), jnp.float32),
-            jax.ShapeDtypeStruct((Bp,), jnp.float32),
-            jax.ShapeDtypeStruct((Bp,), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ],
         interpret=interpret,
     )(A_m, B_m, lxx_m, luu_m, lx_m, lu_m, d_m, phix_m, phixx_m,
@@ -245,4 +247,4 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
 
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]
-    return dU, K, dv1_p[:Bt], dv2_p[:Bt], ok_p[:Bt] > 0.5
+    return dU, K, dv1_p[0, :Bt], dv2_p[0, :Bt], ok_p[0, :Bt] > 0.5
