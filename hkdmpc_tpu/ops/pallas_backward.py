@@ -65,7 +65,7 @@ def _kernel(A_ref, B_ref, lxx_ref, luu_ref, lx_ref, lu_ref,
     is_dyn = isdyn_ref[0, 0]     # (BB,)
     is_rst = isrst_ref[0, 0]
     is_last = islast_ref[0, 0]
-    reg = reg_ref[0, 0]
+    reg = reg_ref[0]             # (BB,) per-lane regularization
 
     A = A_ref[0]                 # (24,24,BB): A[j,i,b] = jacobian row j col i
     Bm = B_ref[0]
@@ -89,9 +89,9 @@ def _kernel(A_ref, B_ref, lxx_ref, luu_ref, lx_ref, lu_ref,
 
     Qx = lx_ref[0] + AtGn
     Qu = lu_ref[0] + BtGn
-    Qxx = lxx_ref[0] + AtHA + reg * eye24
+    Qxx = lxx_ref[0] + AtHA + reg[None, None, :] * eye24
     Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
-    Quu = luu_ref[0] + BtHB + reg * eye24
+    Quu = luu_ref[0] + BtHB + reg[None, None, :] * eye24
     Qux = BtHA
 
     # ---- bordered 49x49 sweep (first 24 pivots) per lane ----------------
@@ -154,7 +154,8 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
     """Explicit-batch backward sweep (batch leading; f32).
 
     kind_b (Bt, T) int32; A/B/lxx/luu (Bt, T, 24, 24); lx/lu (Bt, T, 24);
-    defect/phix (Bt, T+1, 24); phixx (Bt, T+1, 24, 24); reg scalar;
+    defect/phix (Bt, T+1, 24); phixx (Bt, T+1, 24, 24); reg scalar or (Bt,)
+    per-scenario (the vmapped regularization-retry loop batches it);
     last_node_b (Bt,) int32.
 
     Returns (dU (Bt,T,24), K (Bt,T,24,24), dv1 (Bt,), dv2 (Bt,), ok (Bt,) bool).
@@ -182,7 +183,9 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
     is_last = bm((node_idx == last_node_b[:, None]).astype(jnp.float32))
     is_last_t = is_last[1:][:, None, :]
 
-    reg_arr = jnp.full((T, 1), reg, jnp.float32)
+    reg_m = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(reg, jnp.float32), (Bt,)),
+        (0, pad))[None, :]                        # (1, Bp) per-lane reg
 
     nb = Bp // BB
     rev4 = lambda bi, ti: (T - 1 - ti, 0, 0, bi)
@@ -208,8 +211,8 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
             pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bi, ti: (T - 1 - ti, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BB), lambda bi, ti: (0, bi),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
@@ -243,7 +246,7 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
         ],
         interpret=interpret,
     )(A_m, B_m, lxx_m, luu_m, lx_m, lu_m, d_m, phix_m, phixx_m,
-      phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_arr)
+      phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_m)
 
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]

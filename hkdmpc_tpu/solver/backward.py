@@ -188,11 +188,13 @@ def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
         (in_batched[0], in_batched[1], in_batched[2], in_batched[3],
          in_batched[4], in_batched[5], in_batched[6], in_batched[7],
          in_batched[8], in_batched[9], in_batched[11]))]
-    reg_s = reg[0] if in_batched[10] else reg  # reg is a shared scalar
+    # the regularization-retry while_loop batches reg per scenario after the
+    # first retry (jnp.where(ok, reg, reg_next)); the kernel takes it per-lane
+    reg_v = reg if in_batched[10] else jnp.broadcast_to(reg, (axis_size,))
     interpret = jax.default_backend() == "cpu"  # TPU pallas; interpret on CPU
     out = backward_sweep_pallas(args[0], args[1], args[2], args[3], args[4],
                                 args[5], args[6], args[7], args[8], args[9],
-                                reg_s, args[10], interpret=interpret)
+                                reg_v, args[10], interpret=interpret)
     return out, (True, True, True, True, True)
 
 

@@ -120,3 +120,77 @@ def test_solve_parallel_rollout_equivalent():
     assert abs(float(res_a.cost) - float(res_b.cost)) < 1e-6
     assert abs(float(res_a.dyn_feas) - float(res_b.dyn_feas)) < 1e-6
     np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar, atol=1e-6)
+
+
+def test_pallas_backward_matches_scan_per_lane_reg():
+    """The explicit-batch Pallas sweep (interpret mode on CPU) reproduces the
+    per-scenario sweep, including heterogeneous per-lane regularization (the
+    vmapped reg-retry loop batches reg after the first retry). f32 roundoff
+    differs between the two orderings; the kernel's error vs the f64 oracle
+    is bounded by the f32 scan's own roundoff scale."""
+    from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas
+
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    f32 = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    lq32 = jax.tree_util.tree_map(f32, lqd)
+    d32 = f32(ro.defect)
+
+    regs = jnp.asarray([0.0, 1e-3, 0.05, 2.0], jnp.float32)
+    B = regs.shape[0]
+    tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
+    dU, K, dv1, dv2, ok = backward_sweep_pallas(
+        tile(prob.kind), tile(lq32.A), tile(lq32.B), tile(lq32.lxx),
+        tile(lq32.luu), tile(lq32.lx), tile(lq32.lu), tile(d32),
+        tile(lq32.phix), tile(lq32.phixx), regs,
+        jnp.full((B,), last, jnp.int32), interpret=True)
+
+    for i in range(B):
+        # f64 oracle + f32 scan at this scenario's reg
+        o = backward.backward_sweep(prob, lqd, ro.defect,
+                                    jnp.float64(regs[i]), last,
+                                    aug_sweep=True)
+        s = backward.backward_sweep(prob, lq32, d32, regs[i], last,
+                                    aug_sweep=True)
+        for got, oracle, scan_f32, name in [
+                (dU[i], o[0], s[0], "dU"), (K[i], o[1], s[1], "K"),
+                (dv1[i], o[4], s[4], "dv1"), (dv2[i], o[5], s[5], "dv2")]:
+            roundoff = float(jnp.max(jnp.abs(jnp.asarray(scan_f32, jnp.float64)
+                                             - oracle)))
+            np.testing.assert_allclose(
+                np.asarray(got, np.float64), np.asarray(oracle),
+                atol=4.0 * roundoff + 1e-6, rtol=0,
+                err_msg=f"{name} reg={float(regs[i])}")
+        assert bool(ok[i]) == bool(s[6])
+
+
+def test_solve_pallas_backward_equivalent_under_vmap():
+    """vmap(solve, pallas_backward=True) == vmap(solve) (f32, runtime caps);
+    exercises the custom_vmap dispatch end to end (interpret mode on CPU)."""
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    f32 = lambda x: (jnp.asarray(x, jnp.float32)
+                     if isinstance(x, jnp.ndarray) and
+                     jnp.issubdtype(x.dtype, jnp.floating) else x)
+    prob = jax.tree_util.tree_map(f32, prob)
+    state = jax.tree_util.tree_map(f32, state)
+    opt = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, 4)
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(3)).x0)
+
+    res_a = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
+                            False)
+    res_b = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
+                            True)
+    np.testing.assert_allclose(res_a.cost, res_b.cost, rtol=1e-4)
+    np.testing.assert_allclose(res_a.dyn_feas, res_b.dyn_feas,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar,
+                               rtol=1e-3, atol=2e-3)
+    assert not bool(jnp.any(res_a.solve_failed))
+    assert not bool(jnp.any(res_b.solve_failed))
