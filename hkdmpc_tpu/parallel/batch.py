@@ -72,7 +72,8 @@ def perturb_scenarios(prob_b: ProblemData, key, x0_scale=None):
 
 
 def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
-                  axis: str = "scenario", parallel_rollout: bool = False):
+                  axis: str = "scenario", parallel_rollout: bool = False,
+                  pallas_backward: bool = False):
     """Batched solve sharded over the mesh.
 
     Scenario-parallel solves ride per-device vmap; cross-chip aggregation of
@@ -86,8 +87,11 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P()), check_rep=False)
     def _solve_shard(prob_shard, state_shard):
-        res = jax.vmap(ddp.solve, in_axes=(0, 0, None, None))(
-            prob_shard, state_shard, opt, parallel_rollout)
+        res = jax.vmap(
+            ddp.solve,
+            in_axes=(0, 0, None, None, None, None, None, None))(
+            prob_shard, state_shard, opt, parallel_rollout, None, False,
+            True, pallas_backward)
         n_local = res.cost.shape[0]
         agg = {
             "mean_cost": jax.lax.psum(jnp.sum(res.cost), axis)

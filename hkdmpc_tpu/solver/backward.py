@@ -35,16 +35,17 @@ def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
     sweep_inverse). Algebraically identical to the reference's expansion
     (SinglePhase.cpp:342-358); float rounding differs slightly.
     """
-    n = 49
+    nu, nx = Quu.shape[0], Qxx.shape[0]
+    n = nu + nx + 1
     M = jnp.zeros((n, n), dtype)
-    M = M.at[0:24, 0:24].set(Quu)
-    M = M.at[0:24, 24:48].set(Qux)
-    M = M.at[24:48, 0:24].set(Qux.T)
-    M = M.at[24:48, 24:48].set(Qxx)
-    M = M.at[0:24, 48].set(Qu)
-    M = M.at[48, 0:24].set(Qu)
-    M = M.at[24:48, 48].set(Qx)
-    M = M.at[48, 24:48].set(Qx)
+    M = M.at[0:nu, 0:nu].set(Quu)
+    M = M.at[0:nu, nu:nu + nx].set(Qux)
+    M = M.at[nu:nu + nx, 0:nu].set(Qux.T)
+    M = M.at[nu:nu + nx, nu:nu + nx].set(Qxx)
+    M = M.at[0:nu, n - 1].set(Qu)
+    M = M.at[n - 1, 0:nu].set(Qu)
+    M = M.at[nu:nu + nx, n - 1].set(Qx)
+    M = M.at[n - 1, nu:nu + nx].set(Qx)
 
     eye = jnp.eye(n, dtype=dtype)
 
@@ -60,13 +61,13 @@ def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
              - 2.0 * jnp.outer(e, e))
         return W, ok
 
-    W, ok = lax.fori_loop(0, 24, body, (M, jnp.array(True)))
-    K_t = -W[0:24, 24:48]
-    dU_t = -W[0:24, 48]
-    H_new = W[24:48, 24:48]
+    W, ok = lax.fori_loop(0, nu, body, (M, jnp.array(True)))
+    K_t = -W[0:nu, nu:nu + nx]
+    dU_t = -W[0:nu, n - 1]
+    H_new = W[nu:nu + nx, nu:nu + nx]
     H_new = 0.5 * (H_new + H_new.T)
-    G_new = W[24:48, 48]
-    dv_k = -W[48, 48]
+    G_new = W[nu:nu + nx, n - 1]
+    dv_k = -W[n - 1, n - 1]
     return dU_t, K_t, G_new, H_new, dv_k, ok
 
 
@@ -83,7 +84,9 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
     """
     T = prob.T
     dtype = lq.A.dtype
-    eye = jnp.eye(24, dtype=dtype)
+    nx, nu = lq.lx.shape[-1], lq.lu.shape[-1]
+    eye_x = jnp.eye(nx, dtype=dtype)
+    eye_u = jnp.eye(nu, dtype=dtype)
 
     # seed at the last active node: G = Phix, H = Phixx (no Gprime beyond)
     G_seed = lq.phix[last_node]
@@ -103,14 +106,14 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
             Qux = lq.B[t].T @ H @ lq.A[t]
             if lq.lux is not None:
                 Qux = Qux + lq.lux[t]
-            Qxx = Qxx + regularization * eye
-            Quu = Quu + regularization * eye
+            Qxx = Qxx + regularization * eye_x
+            Quu = Quu + regularization * eye_u
             if aug_sweep:
                 dU_t, K_t, G_new, H_new, dv_k, psd = _riccati_step_aug_sweep(
                     Qx, Qu, 0.5 * (Qxx + Qxx.T), Quu, Qux, dtype)
             else:
                 Quu_inv, psd = sweep_inverse(Quu, CHOL_SHIFT)
-                Quu_inv = jnp.where(psd, Quu_inv, eye)
+                Quu_inv = jnp.where(psd, Quu_inv, eye_u)
                 Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
                 Qxx_s = 0.5 * (Qxx + Qxx.T)
                 dU_t = -Quu_inv @ Qu
@@ -129,10 +132,11 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
             G_new = lq.phix[t] + Px.T @ Gn
             H_new = lq.phixx[t] + Px.T @ H @ Px
             return (G_new, H_new, dv1, dv2, ok,
-                    jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype))
+                    jnp.zeros(nu, dtype), jnp.zeros((nu, nx), dtype))
 
         def pad_branch(_):
-            return G, H, dv1, dv2, ok, jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype)
+            return (G, H, dv1, dv2, ok,
+                    jnp.zeros(nu, dtype), jnp.zeros((nu, nx), dtype))
 
         G2, H2, dv1_2, dv2_2, ok2, dU_t, K_t = lax.switch(
             kind, [pad_branch, dyn_branch, reset_branch], None)
@@ -179,6 +183,17 @@ def riccati_backward(kind, A, B, lxx, luu, lx, lu, defect, phix, phixx,
 def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
                               lx, lu, defect, phix, phixx, reg, last_node):
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas
+
+    # the kernel is 24-dim f32 only; other models/dtypes fall back to the
+    # plainly-vmapped scan
+    if A.shape[-2:] != (24, 24) or A.dtype != jnp.float32:
+        def unbatched(*args):
+            return riccati_backward.fun(*args)
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(unbatched, in_axes=in_axes)(
+            kind, A, B, lxx, luu, lx, lu, defect, phix, phixx, reg,
+            last_node)
+        return out, (True, True, True, True, True)
 
     def bc(x, b):
         return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
@@ -230,7 +245,8 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
         return reg_new, (dU, K, dv1, dv2), ok_new, failed_new
 
     T = prob.T
-    dummy = (jnp.zeros((T, 24), dtype), jnp.zeros((T, 24, 24), dtype),
+    nx, nu = lq.lx.shape[-1], lq.lu.shape[-1]
+    dummy = (jnp.zeros((T, nu), dtype), jnp.zeros((T, nu, nx), dtype),
              jnp.zeros((), dtype), jnp.zeros((), dtype))
     carry = (jnp.asarray(regularization, dtype), dummy, jnp.array(False),
              jnp.array(False))

@@ -58,15 +58,19 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
                 luu = luu + prob.dt * gu.T @ (d2[:, None] * gu)
             return A, B, lx, lu, lxx, luu, lux
 
+        xs, us = model.xs, model.us
+        zx, zu = jnp.zeros(xs, dtype), jnp.zeros(us, dtype)
+        Zb = jnp.zeros((xs, us), dtype)
+        Zxx, Zuu = jnp.zeros((xs, xs), dtype), jnp.zeros((us, us), dtype)
+        Zux = jnp.zeros((us, xs), dtype)
+
         def reset_branch(_):
             Px = model.reset_map_jacobian(x, prob.contact[t],
                                           prob.contact_next[t])
-            z, Z = jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype)
-            return Px, Z, z, z, Z, Z, Z
+            return Px, Zb, zx, zu, Zxx, Zuu, Zux
 
         def pad_branch(_):
-            z, Z = jnp.zeros(24, dtype), jnp.zeros((24, 24), dtype)
-            return jnp.eye(24, dtype=dtype), Z, z, z, Z, Z, Z
+            return jnp.eye(xs, dtype=dtype), Zb, zx, zu, Zxx, Zuu, Zux
 
         return lax.switch(kind, [pad_branch, dyn_branch, reset_branch], None)
 

@@ -78,14 +78,16 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
             xsim_next = model.dynamics(x, u, prob.contact[t], prob.dt)
             return xsim_next, xsim_next, u
 
+        u_zero = jnp.zeros(state.Ubar.shape[-1], dtype)
+
         def reset_branch(_):
             xr_next = model.reset_map(x, prob.contact[t], prob.contact_next[t])
             xsim_next = model.reset_map(xsim, prob.contact[t],
                                         prob.contact_next[t])
-            return xr_next, xsim_next, jnp.zeros(24, dtype)
+            return xr_next, xsim_next, u_zero
 
         def pad_branch(_):
-            return x, xsim, jnp.zeros(24, dtype)
+            return x, xsim, u_zero
 
         x_prop, xsim_next, u = lax.switch(
             kind, [pad_branch, dyn_branch, reset_branch], None)

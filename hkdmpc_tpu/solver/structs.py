@@ -102,13 +102,14 @@ class SolverState:
     def init(cls, prob: ProblemData, constr: ConstraintState) -> "SolverState":
         T = prob.T
         dtype = prob.xr.dtype
+        xs, us = prob.xr.shape[-1], prob.ur.shape[-1]
         return cls(
             Xbar=prob.xr.astype(dtype),
-            Ubar=jnp.zeros((T, 24), dtype),
-            dU=jnp.zeros((T, 24), dtype),
-            K=jnp.zeros((T, 24, 24), dtype),
-            dX=jnp.zeros((T + 1, 24), dtype),
-            defect_bar=jnp.zeros((T + 1, 24), dtype),
+            Ubar=jnp.zeros((T, us), dtype),
+            dU=jnp.zeros((T, us), dtype),
+            K=jnp.zeros((T, us, xs), dtype),
+            dX=jnp.zeros((T + 1, xs), dtype),
+            defect_bar=jnp.zeros((T + 1, xs), dtype),
             constr=constr,
         )
 
