@@ -41,11 +41,21 @@ def main():
     x0s = [perturb_scenarios(prob_b, jax.random.PRNGKey(i)).x0
            for i in range(batch // chunk)]
 
-    solve = jax.jit(jax.vmap(ddp.solve, in_axes=(0, 0, None, None)),
-                    static_argnames=("opt", "parallel_rollout"))
+    # Pallas backward sweep: measured 1.34x end-to-end on v5e (224 vs 302 ms
+    # at batch 1024) and *more* accurate than the scan at default matmul
+    # precision (the scan's bf16 MXU passes cost ~2% mean final cost; the
+    # kernel's explicit f32 FMAs match the precision="highest" result to 1e-7
+    # — scripts/exp_precision_bench.py). TPU f32 only.
+    use_pallas = (jax.default_backend() != "cpu"
+                  and os.environ.get("BENCH_PALLAS", "1") == "1")
+    solve = jax.jit(
+        jax.vmap(ddp.solve, in_axes=(0, 0, None, None, None, None, None, None)),
+        static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
+                         "aug_sweep", "pallas_backward"))
 
     def run_all():
-        out = [solve(dataclasses.replace(prob_b, x0=x0), state_b, opt, True)
+        out = [solve(dataclasses.replace(prob_b, x0=x0), state_b, opt, True,
+                     None, False, True, use_pallas)
                for x0 in x0s]
         out[-1].cost.block_until_ready()
         return out

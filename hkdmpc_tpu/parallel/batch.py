@@ -82,10 +82,14 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
 
     Returns (SolveResult batched, aggregates dict of replicated scalars).
     """
-    from jax.experimental.shard_map import shard_map
+    if hasattr(jax, "shard_map"):
+        smap = partial(jax.shard_map, check_vma=False)
+    else:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+        smap = partial(shard_map, check_rep=False)
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-             out_specs=(P(axis), P()), check_rep=False)
+    @partial(smap, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=(P(axis), P()))
     def _solve_shard(prob_shard, state_shard):
         res = jax.vmap(
             ddp.solve,
