@@ -68,7 +68,8 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           parallel_rollout: bool = False, model=None,
           assoc_linear: bool = False, aug_sweep: bool = True,
-          pallas_backward: bool = False) -> SolveResult:
+          pallas_backward: bool = False,
+          pallas_linear: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -157,7 +158,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
                                                     c["defect"], 1.0)
             else:
                 dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd,
-                                                     c["defect"], 1.0)
+                                                     c["defect"], 1.0,
+                                                     pallas_linear)
             st = _replace(st, dX=dX)
 
         dv_abs = jnp.abs(dv1 + 0.5 * dv2)
@@ -279,10 +281,11 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward"))
+                     "aug_sweep", "pallas_backward", "pallas_linear"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes
 solve_batch = jax.jit(
-    jax.vmap(solve, in_axes=(0, 0, None, None, None, None, None, None)),
+    jax.vmap(solve,
+             in_axes=(0, 0, None, None, None, None, None, None, None)),
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward"))
+                     "aug_sweep", "pallas_backward", "pallas_linear"))

@@ -239,32 +239,80 @@ def max_violations(prob: ProblemData, g_all, h_all):
 
 
 def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
-                   defect, eps) -> tuple:
+                   defect, eps, pallas: bool = False) -> tuple:
     """Propagate the linearized dynamics along (dU, K) to get the
     multiple-shooting search direction dX and expected cost change.
 
-    Returns (dX (T+1,24), dV_1, dV_2).
+    Returns (dX (T+1,24), dV_1, dV_2). With pallas=True (static), dispatch
+    through the custom_vmap hook so vmapped solves run the batch-in-lanes
+    Pallas kernel (f32, lux-free models only — the kernel drops lux).
     """
-    dtype = prob.xr.dtype
+    last = last_active_node(prob)
+    if pallas and lq.lux is None:
+        return linear_rollout_cv(prob.kind, lq.A, lq.B, state.K, state.dU,
+                                 defect, lq.lx, lq.lu, lq.lxx, lq.luu,
+                                 lq.phix, lq.phixx,
+                                 jnp.asarray(eps, lq.lx.dtype), last)
+    return _linear_rollout_impl(prob, state, lq, defect, eps, last)
+
+
+def last_active_node(prob: ProblemData):
+    """Index of the last active node (terminal node of the final phase)."""
+    act = (prob.kind != PAD)
+    return jnp.sum(act.astype(jnp.int32))  # nodes 0..n_active
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap dispatch for the linear rollout: under vmap(solve) the batched
+# rule runs the whole forward propagation as one Pallas kernel
+# (ops/pallas_linear.py) with batch in the TPU lane dimension; unbatched
+# calls keep the faithful scan. Enabled with ddp.solve(pallas_linear=True)
+# (f32, lux-free models only).
+# ---------------------------------------------------------------------------
+
+from jax.custom_batching import custom_vmap as _custom_vmap
+
+
+@_custom_vmap
+def linear_rollout_cv(kind, A, B, K, dU, defect, lx, lu, lxx, luu,
+                      phix, phixx, eps, last_node):
+    """Array-interface linear rollout: returns (dX, dV_1, dV_2)."""
+    lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
+                phix=phix, phixx=phixx)
+
+    class _P:
+        pass
+    p = _P()
+    p.kind = kind
+    p.T = kind.shape[0]
+
+    class _S:
+        pass
+    s = _S()
+    s.dU = dU
+    s.K = K
+    return _linear_rollout_impl(p, s, lq, defect, eps, last_node)
+
+
+def _linear_rollout_impl(prob, state, lq, defect, eps, last_node):
+    """linear_rollout body with an explicit last_node (avoids re-deriving it
+    from prob.kind so the array interface stays self-contained)."""
+    dtype = lq.lx.dtype
     eps = jnp.asarray(eps, dtype)
-    dx0 = eps * defect[0]     # dx_init = 0 + eps * Defect[0]
+    dx0 = eps * defect[0]
 
     def step(carry, t):
         dx = carry
         kind = prob.kind[t]
-
         du = eps * state.dU[t] + state.K[t] @ dx
         dx_dyn = lq.A[t] @ dx + lq.B[t] @ du + eps * defect[t + 1]
         dv1_dyn = lq.lx[t] @ dx + lq.lu[t] @ du
         dv2_dyn = dx @ lq.lxx[t] @ dx + du @ lq.luu[t] @ du
         if lq.lux is not None:
             dv2_dyn = dv2_dyn + du @ lq.lux[t] @ dx
-
-        # reset: terminal cost of the source node contributes, then Px
         dv1_rst = lq.phix[t] @ dx
         dv2_rst = dx @ lq.phixx[t] @ dx
         dx_rst = lq.A[t] @ dx + eps * defect[t + 1]
-
         is_dyn = (kind == DYN)
         is_rst = (kind == RESET)
         dx_next = jnp.where(is_dyn, dx_dyn, jnp.where(is_rst, dx_rst, dx))
@@ -272,18 +320,35 @@ def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
         dv2 = jnp.where(is_dyn, dv2_dyn, jnp.where(is_rst, dv2_rst, 0.0))
         return dx_next, (dx_next, dv1, dv2)
 
-    dx_last, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T))
+    _, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T))
     dX = jnp.concatenate([dx0[None], dX_rest], axis=0)
-
-    # terminal node of the last phase (last active node)
-    last = last_active_node(prob)
-    dx_term = dX[last]
-    dV_1 = jnp.sum(dv1s) + lq.phix[last] @ dx_term
-    dV_2 = jnp.sum(dv2s) + dx_term @ lq.phixx[last] @ dx_term
+    dx_term = dX[last_node]
+    dV_1 = jnp.sum(dv1s) + lq.phix[last_node] @ dx_term
+    dV_2 = jnp.sum(dv2s) + dx_term @ lq.phixx[last_node] @ dx_term
     return dX, dV_1, dV_2
 
 
-def last_active_node(prob: ProblemData):
-    """Index of the last active node (terminal node of the final phase)."""
-    act = (prob.kind != PAD)
-    return jnp.sum(act.astype(jnp.int32))  # nodes 0..n_active
+@linear_rollout_cv.def_vmap
+def _linear_rollout_batched(axis_size, in_batched, kind, A, B, K, dU, defect,
+                            lx, lu, lxx, luu, phix, phixx, eps, last_node):
+    from hkdmpc_tpu.ops.pallas_linear import linear_rollout_pallas
+
+    if A.shape[-2:] != (24, 24) or A.dtype != jnp.float32:
+        def unbatched(*args):
+            return linear_rollout_cv.fun(*args)
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(unbatched, in_axes=in_axes)(
+            kind, A, B, K, dU, defect, lx, lu, lxx, luu, phix, phixx, eps,
+            last_node)
+        return out, (True, True, True)
+
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    arrs = (kind, A, B, K, dU, defect, lx, lu, lxx, luu, phix, phixx)
+    args = [bc(a, b) for a, b in zip(arrs, in_batched[:12])]
+    eps_v = eps if in_batched[12] else jnp.broadcast_to(eps, (axis_size,))
+    ln_v = bc(last_node, in_batched[13])
+    interpret = jax.default_backend() == "cpu"
+    out = linear_rollout_pallas(*args, eps_v, ln_v, interpret=interpret)
+    return out, (True, True, True)

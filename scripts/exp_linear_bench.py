@@ -1,0 +1,64 @@
+"""Controlled TPU experiment: linear rollout via Pallas kernel vs XLA scan.
+
+Trot MPC runtime workload, batch=chunk scenarios, pallas_backward=True in
+both arms — toggles only pallas_linear. Reports best-of-3 wall time and the
+max relative cost deviation between the arms.
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    from hkdmpc_tpu.solver import ddp
+
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+
+    _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
+    opt = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, chunk)
+    prob_b, state_b = jax.device_put((prob_b, state_b))
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
+
+    results = {}
+    for use_pl in (False, True):
+        t0 = time.perf_counter()
+        r = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
+                            True, use_pl)
+        r.cost.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = ddp.solve_batch(prob_b, state_b, opt, True, None, False,
+                                True, True, use_pl)
+            r.cost.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        results[use_pl] = (best, np.asarray(r.cost),
+                           int(jnp.sum(r.solve_failed)))
+        print(f"pallas_linear={use_pl}: best={best*1e3:.1f}ms "
+              f"times={[round(t*1e3,1) for t in times]} "
+              f"compile={compile_s:.0f}s failed={results[use_pl][2]} "
+              f"({chunk/best:.0f} solves/s)", flush=True)
+
+    c0, c1 = results[False][1], results[True][1]
+    rel = np.max(np.abs(c1 - c0) / (np.abs(c0) + 1e-9))
+    print(f"max rel cost deviation: {rel:.3e}")
+    print(f"speedup: {results[False][0]/results[True][0]:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

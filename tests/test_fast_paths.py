@@ -194,3 +194,76 @@ def test_solve_pallas_backward_equivalent_under_vmap():
                                rtol=1e-3, atol=2e-3)
     assert not bool(jnp.any(res_a.solve_failed))
     assert not bool(jnp.any(res_b.solve_failed))
+
+
+def test_pallas_linear_rollout_matches_scan():
+    """The explicit-batch Pallas linear rollout (interpret mode on CPU)
+    reproduces the per-scenario scan, including per-lane eps and the terminal
+    value contribution at each lane's last active node."""
+    from hkdmpc_tpu.ops.pallas_linear import linear_rollout_pallas
+
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    dU, K, dv1, dv2, reg, ok, failed = backward.backward_sweep_regularized(
+        prob, lqd, ro.defect, 0.0, 4.0, last)
+    state = dataclasses.replace(state, dU=dU, K=K)
+
+    f32 = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    lq32 = jax.tree_util.tree_map(f32, lqd)
+    d32, dU32, K32 = f32(ro.defect), f32(dU), f32(K)
+
+    epss = jnp.asarray([1.0, 0.1, 0.01, 0.0], jnp.float32)
+    B = epss.shape[0]
+    tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
+    dX, dv1_k, dv2_k = linear_rollout_pallas(
+        tile(prob.kind), tile(lq32.A), tile(lq32.B), tile(K32), tile(dU32),
+        tile(d32), tile(lq32.lx), tile(lq32.lu), tile(lq32.lxx),
+        tile(lq32.luu), tile(lq32.phix), tile(lq32.phixx), epss,
+        jnp.full((B,), last, jnp.int32), interpret=True)
+
+    for i in range(B):
+        o = ro_mod.linear_rollout(prob, state, lqd, ro.defect,
+                                  jnp.float64(epss[i]))
+        state32 = dataclasses.replace(state, dU=dU32, K=K32)
+        s = ro_mod.linear_rollout(prob, state32, lq32, d32, epss[i])
+        for got, oracle, scan_f32, name in [
+                (dX[i], o[0], s[0], "dX"), (dv1_k[i], o[1], s[1], "dv1"),
+                (dv2_k[i], o[2], s[2], "dv2")]:
+            roundoff = float(jnp.max(jnp.abs(jnp.asarray(scan_f32, jnp.float64)
+                                             - oracle)))
+            np.testing.assert_allclose(
+                np.asarray(got, np.float64), np.asarray(oracle),
+                atol=4.0 * roundoff + 1e-6, rtol=0,
+                err_msg=f"{name} eps={float(epss[i])}")
+
+
+def test_solve_pallas_linear_equivalent_under_vmap():
+    """vmap(solve, pallas_linear=True) == vmap(solve) (f32, runtime caps);
+    exercises the custom_vmap dispatch end to end (interpret mode on CPU)."""
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    f32 = lambda x: (jnp.asarray(x, jnp.float32)
+                     if isinstance(x, jnp.ndarray) and
+                     jnp.issubdtype(x.dtype, jnp.floating) else x)
+    prob = jax.tree_util.tree_map(f32, prob)
+    state = jax.tree_util.tree_map(f32, state)
+    opt = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, 4)
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(5)).x0)
+
+    res_a = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
+                            True, False)
+    res_b = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
+                            True, True)
+    np.testing.assert_allclose(res_a.cost, res_b.cost, rtol=1e-4)
+    np.testing.assert_allclose(res_a.dyn_feas, res_b.dyn_feas,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar,
+                               rtol=1e-3, atol=2e-3)
+    assert not bool(jnp.any(res_a.solve_failed))
+    assert not bool(jnp.any(res_b.solve_failed))
