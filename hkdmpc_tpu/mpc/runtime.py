@@ -37,16 +37,38 @@ class MPCService:
         self.tx.publish("mpc_command", self.cmd_t.encode(cmd.to_lcm_dict()))
 
     def publish_solver_info(self):
+        """All four per-iteration buffers, as the reference ships them
+        (MultiPhaseDDP.cpp:532-541 get_solver_info -> HKDMPC.cpp:324-329)."""
         res = self.solver.last_result
         if res is None:
             return
         ct = np.asarray(res.cost_trace)
         ct = ct[~np.isnan(ct)]
         ft = np.asarray(res.feas_trace)[: len(ct)]
+        et = np.asarray(res.eqn_trace)[: len(ct)]
+        it = np.asarray(res.ineq_trace)[: len(ct)]
         msg = {"n_iter": len(ct), "cost": ct, "dyn_feas": ft,
-               "eqn_feas": np.full(len(ct), float(res.max_tconstr)),
-               "ineq_feas": np.full(len(ct), float(res.max_pconstr))}
+               "eqn_feas": et, "ineq_feas": it}
         self.tx.publish("solver_info", self.info_t.encode(msg))
+
+    def publish_trajectory(self):
+        """Stream the solver's current trajectory over `intermediate_ddp_traj`
+        (parity: MultiPhaseDDP.h:76-88 publish_trajectory — defined but never
+        invoked in the reference; exposed here the same way, as an explicit
+        call emitting solver_intermtraj_lcmt)."""
+        traj_t = load_reference_types(DEFAULT_LCMTYPES)["solver_intermtraj_lcmt"]
+        # per-phase k in [0, horizon) only, no terminal node
+        # (SinglePhase.cpp:504-517 get_trajectory)
+        x_tau, u_tau = [], []
+        for ph in self.solver.problem.phases:
+            for k in range(ph.horizon):
+                x_tau.append(ph.Xbar[k])
+                u_tau.append(ph.Ubar[k])
+        x = np.asarray(x_tau, dtype=np.float32)
+        u = np.asarray(u_tau, dtype=np.float32)
+        msg = {"tau_sz": len(x), "x_sz": x.shape[1], "u_sz": u.shape[1],
+               "x_tau": x, "u_tau": u}
+        self.tx.publish("intermediate_ddp_traj", traj_t.encode(msg))
 
     def publish_debugfoot(self):
         """qdummy + contact sequence over the horizon (parity:

@@ -105,6 +105,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     traces0 = {
         "cost": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(cost0),
         "feas": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(feas0),
+        "eqn": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(maxt0),
+        "ineq": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(maxp0),
         "n": jnp.array(1, jnp.int32),
     }
 
@@ -201,6 +203,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         # trace buffering — skipped on the early exit (cpp:340-343) AND on
         # the late-convergence break, which fires before the buffer push
         # (cpp:358-371)
+        maxp2, maxt2 = ro_mod.max_violations(prob, g2, h2)
+
         tr = c["traces"]
         do_trace = jnp.logical_and(
             jnp.logical_not(early),
@@ -210,10 +214,10 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         tr = dict(
             cost=jnp.where(do_trace, tr["cost"].at[n].set(cost2), tr["cost"]),
             feas=jnp.where(do_trace, tr["feas"].at[n].set(feas2), tr["feas"]),
+            eqn=jnp.where(do_trace, tr["eqn"].at[n].set(maxt2), tr["eqn"]),
+            ineq=jnp.where(do_trace, tr["ineq"].at[n].set(maxp2), tr["ineq"]),
             n=jnp.where(do_trace, jnp.minimum(n + 1, TRACE_LEN - 1), n),
         )
-
-        maxp2, maxt2 = ro_mod.max_violations(prob, g2, h2)
         c2 = dict(c, state=st, X=X, U=U, defect=defect, g=g2, h=h2,
                   cost=cost2, feas=feas2, maxp=maxp2, maxt=maxt2, traces=tr,
                   failed=bw_failed, it_total=c["it_total"] + 1)
@@ -274,7 +278,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         state=c["state"], cost=c["cost"], dyn_feas=c["feas"],
         max_tconstr=c["maxt"], max_pconstr=c["maxp"],
         n_iters=c["it_total"], solve_failed=c["failed"],
-        cost_trace=c["traces"]["cost"], feas_trace=c["traces"]["feas"])
+        cost_trace=c["traces"]["cost"], feas_trace=c["traces"]["feas"],
+        eqn_trace=c["traces"]["eqn"], ineq_trace=c["traces"]["ineq"])
 
 
 # jitted entry point: one compiled instance per (option set, problem shape)
@@ -283,9 +288,19 @@ solve_jit = jax.jit(
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "pallas_linear"))
 
-# batched solves: vmap over (ProblemData, SolverState) scenario axes
+# batched solves: vmap over (ProblemData, SolverState) scenario axes.
+# Only (prob, state) are vmapped; every flag is a keyword-defaulted static
+# threaded through a closure, so adding a new solve flag can never strand a
+# call site on a stale in_axes tuple again (round-1 regression).
+def _solve_batch(prob, state, opt, parallel_rollout=False, model=None,
+                 assoc_linear=False, aug_sweep=True, pallas_backward=False,
+                 pallas_linear=False):
+    fn = lambda p, s: solve(p, s, opt, parallel_rollout, model, assoc_linear,
+                            aug_sweep, pallas_backward, pallas_linear)
+    return jax.vmap(fn)(prob, state)
+
+
 solve_batch = jax.jit(
-    jax.vmap(solve,
-             in_axes=(0, 0, None, None, None, None, None, None, None)),
+    _solve_batch,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "pallas_linear"))

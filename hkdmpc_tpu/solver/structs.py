@@ -156,3 +156,7 @@ class SolveResult:
     solve_failed: jnp.ndarray   # () bool (regularization blow-up)
     cost_trace: jnp.ndarray     # (max_trace,) per-iteration cost (padded w/ nan)
     feas_trace: jnp.ndarray     # (max_trace,)
+    eqn_trace: jnp.ndarray      # (max_trace,) max terminal violation per iter
+                                # (reference eqn_feas_buffer, MultiPhaseDDP.cpp:370)
+    ineq_trace: jnp.ndarray     # (max_trace,) max path violation per iter (<=0)
+                                # (reference ineq_feas_buffer, MultiPhaseDDP.cpp:371)

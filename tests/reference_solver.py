@@ -167,6 +167,8 @@ class NaiveHSDDP:
         self.opt = opt
         self.cost_trace = []
         self.feas_trace = []
+        self.eqn_trace = []
+        self.ineq_trace = []
 
     # --- forward (MultiPhaseDDP::hybrid_rollout + SinglePhase) ------------
 
@@ -379,6 +381,8 @@ class NaiveHSDDP:
         self.cost_trace = [cost]
         self.feas_trace = [feas]
         maxp, maxt = self.max_violations()
+        self.eqn_trace = [maxt]
+        self.ineq_trace = [maxp]
 
         for iter_ou in range(opt.max_AL_iter):
             maxt_prev, maxp_prev = maxt, maxp
@@ -428,6 +432,8 @@ class NaiveHSDDP:
                 maxp, maxt = self.max_violations()
                 self.cost_trace.append(cost)
                 self.feas_trace.append(feas)
+                self.eqn_trace.append(maxt)
+                self.ineq_trace.append(maxp)
             # AL / ReB updates
             if opt.AL_active:
                 for ph in self.phases:

@@ -77,6 +77,65 @@ def test_closed_loop_trot():
     assert np.max(tracking_err) < 0.2, tracking_err
 
 
+class _CaptureTransport:
+    def __init__(self):
+        self.published = []
+
+    def subscribe(self, chan):
+        pass
+
+    def publish(self, chan, buf):
+        self.published.append((chan, bytes(buf)))
+
+
+def test_solver_info_and_intermtraj_publish():
+    """solver_info carries the four true per-iteration buffers
+    (MultiPhaseDDP.cpp:532-541) and intermediate_ddp_traj round-trips the
+    current trajectory (MultiPhaseDDP.h:76-88)."""
+    from hkdmpc_tpu.comm.lcm_types import load_reference_types
+    from hkdmpc_tpu.mpc.runtime import MPCService
+
+    solver = HKDMPCSolver(REF_DATA, REF_SETTINGS, REF_CPARAMS, MPCConfig())
+    solver.initialize()
+    tx = _CaptureTransport()
+    svc = MPCService(solver, tx)
+    svc.publish_solver_info()
+    svc.publish_trajectory()
+
+    types = load_reference_types("/root/reference/lcmtypes")
+    by_chan = dict(tx.published)
+    assert set(by_chan) == {"solver_info", "intermediate_ddp_traj"}
+
+    info = types["solver_info_lcmt"].decode(by_chan["solver_info"])
+    res = solver.last_result
+    ct = np.asarray(res.cost_trace)
+    ct = ct[~np.isnan(ct)]
+    n = int(info["n_iter"])
+    assert n == len(ct)
+    np.testing.assert_allclose(info["cost"], ct.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(
+        info["dyn_feas"], np.asarray(res.feas_trace)[:n].astype(np.float32),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        info["eqn_feas"], np.asarray(res.eqn_trace)[:n].astype(np.float32),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        info["ineq_feas"], np.asarray(res.ineq_trace)[:n].astype(np.float32),
+        rtol=1e-5, atol=1e-7)
+    # per-iteration series must not be constant-filled fakes: the initial
+    # cost differs from the converged cost on this problem
+    assert not np.allclose(info["cost"][0], info["cost"][-1])
+
+    traj = types["solver_intermtraj_lcmt"].decode(by_chan["intermediate_ddp_traj"])
+    want_tau = sum(ph.horizon for ph in solver.problem.phases)
+    assert int(traj["tau_sz"]) == want_tau
+    assert int(traj["x_sz"]) == 24 and int(traj["u_sz"]) == 24
+    x0 = solver.problem.phases[0].Xbar[0]
+    np.testing.assert_allclose(traj["x_tau"][0], x0.astype(np.float32),
+                               rtol=1e-6, atol=1e-7)
+    assert np.isfinite(traj["x_tau"]).all() and np.isfinite(traj["u_tau"]).all()
+
+
 def test_command_contract():
     solver = HKDMPCSolver(REF_DATA, REF_SETTINGS, REF_CPARAMS, MPCConfig())
     cmd = solver.initialize()

@@ -47,6 +47,11 @@ def _assert_match(pb, x0, opt):
     assert len(ct) == len(naive.cost_trace), (ct, naive.cost_trace)
     np.testing.assert_allclose(ct, naive.cost_trace, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(ft, naive.feas_trace, rtol=1e-5, atol=1e-8)
+    # per-iteration eqn/ineq violation buffers (MultiPhaseDDP.cpp:368-371)
+    et = np.asarray(res.eqn_trace)[: len(ct)]
+    it = np.asarray(res.ineq_trace)[: len(ct)]
+    np.testing.assert_allclose(et, naive.eqn_trace, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(it, naive.ineq_trace, rtol=1e-5, atol=1e-8)
     assert abs(float(res.cost) - out["cost"]) < 1e-6 * max(1.0, out["cost"])
     assert abs(float(res.dyn_feas) - out["feas"]) < 1e-6
     return naive, res
@@ -102,6 +107,10 @@ def test_flattened_solver_matches_naive_reference():
     assert len(ct) == len(naive.cost_trace), (ct, naive.cost_trace)
     np.testing.assert_allclose(ct, naive.cost_trace, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(ft, naive.feas_trace, rtol=1e-5, atol=1e-8)
+    et = np.asarray(res.eqn_trace)[: len(ct)]
+    it = np.asarray(res.ineq_trace)[: len(ct)]
+    np.testing.assert_allclose(et, naive.eqn_trace, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(it, naive.ineq_trace, rtol=1e-5, atol=1e-8)
 
     # identical final solution
     assert abs(float(res.cost) - out["cost"]) < 1e-6 * max(1.0, out["cost"])
