@@ -20,13 +20,20 @@ def main():
     ap.add_argument("--gait", default="trot",
                     choices=["trot", "flytrot", "barrelroll", "hop"])
     ap.add_argument("--out", default="/tmp/hkdmpc_demo")
+    ap.add_argument("--backend", default="cpu",
+                    help="cpu (default; fast f64 host loop) or tpu")
     args = ap.parse_args()
 
     import jax
+    if args.backend == "cpu":
+        # env vars can't override the sandbox's forced axon platform;
+        # only the config call can (see CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from hkdmpc_tpu.models import hkd
     from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
-    from hkdmpc_tpu.utils.logging import log_trajectory_sequence
+    from hkdmpc_tpu.utils.logging import log_solution
     from hkdmpc_tpu.utils.visualize import plot_solution
 
     ref_root = "/root/reference/Reference/Data"
@@ -72,7 +79,9 @@ def main():
                   f"feas={float(solver.last_result.dyn_feas):.1e}")
 
     os.makedirs(args.out, exist_ok=True)
-    log_trajectory_sequence(args.out, solver.problem.phases)
+    prob, state = solver.problem.build(
+        solver.problem.phases[0].Xbar[0])
+    log_solution(args.out, solver.problem, prob, state, solver.opt)
     png = plot_solution(solver.problem.phases,
                         os.path.join(args.out, "solution.png"),
                         title=f"HKD-MPC {args.gait} (closed loop)")

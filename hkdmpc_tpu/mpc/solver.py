@@ -37,6 +37,9 @@ class MPCConfig:
     nsteps_between_mpc: int = 1
     timestep: float = 0.01
     n_cmd_extra: int = 7   # publish nsteps+7 controls to mask latency (HKDMPC.cpp:245)
+    fused_step: bool = False  # device-resident fused update (mpc/fused.py):
+                              # one jitted program + packed I/O per step;
+                              # equivalence pinned in tests/test_fast_paths.py
 
 
 @dataclasses.dataclass
@@ -130,12 +133,20 @@ class HKDMPCSolver:
         self.last_result = res
         self.mpc_iter = 0
         self.update_foot_placement()
+        if self.cfg.fused_step:
+            from hkdmpc_tpu.mpc import fused
+            self._tables = fused.make_tables(self.problem, self.dtype)
+            self._state_dev = res.state
+            self._offsets = self.problem.flat_offsets()
+            self._host_stale = False
         return self.make_command()
 
     def update(self, rpy, p, v, omega, qJ, mpc_time: float = 0.0) -> MPCCommand:
         """One MPC re-solve from measured robot state (HKDMPC.cpp:96-166)."""
         self.mpc_iter += 1
         self.mpc_time = mpc_time
+        if self.cfg.fused_step:
+            return self._update_fused(rpy, p, v, omega, qJ)
         self.problem.update(self.cfg.nsteps_between_mpc)
         contact = self.problem.phases[0].contact
         x0 = self.hkd_state_from_measurements(rpy, p, v, omega, qJ, contact)
@@ -149,6 +160,108 @@ class HKDMPCSolver:
         self.last_result = res
         self.update_foot_placement()
         return self.make_command()
+
+    # ------------------------------------------------------------------
+    # device-resident fused path (mpc/fused.py)
+    # ------------------------------------------------------------------
+
+    def _update_fused(self, rpy, p, v, omega, qJ) -> MPCCommand:
+        import types
+
+        import jax
+
+        from hkdmpc_tpu.mpc import fused
+
+        pb = self.problem
+        old_offsets = self._offsets
+        pb.update(self.cfg.nsteps_between_mpc)
+        desc = pb.shift_descriptor(old_offsets)
+        self._offsets = pb.flat_offsets()
+        pa = pb.problem_arrays()
+        pb._node_map = pa["node_map"]
+        n = self.cfg.nsteps_between_mpc + self.cfg.n_cmd_extra
+
+        # command walk (host half): DYN transition indices + phase scalars
+        dyn_idx = np.flatnonzero(pa["kind"] == 1)[:n]
+        cmd_idx = np.full(n, -1, np.int32)
+        cmd_idx[: len(dyn_idx)] = dyn_idx
+        contacts = np.zeros((n, 4), int)
+        status = np.zeros((n, 4))
+        times = np.zeros(n)
+        k = i = s = 0
+        while k < n:
+            if s >= pb.phases[i].horizon:
+                s = 0
+                i += 1
+                if i >= len(pb.phases):
+                    break
+            contacts[k] = pb.phases[i].contact
+            status[k] = pb.phases[i].contact_duration
+            times[k] = self.mpc_time + k * self.cfg.timestep
+            s += 1
+            k += 1
+
+        # foot-placement plan (HKDMPC.cpp:206-240 walk, host half)
+        foot_idx = np.full(4, -1, np.int32)
+        found = [False] * 4
+        node_off = {ph.uid: self._offsets[ph.uid][0] for ph in pb.phases}
+        for i in range(len(pb.phases) - 1):
+            c, cn = pb.phases[i].contact, pb.phases[i + 1].contact
+            for leg in range(4):
+                if not found[leg] and c[leg] == 0 and cn[leg] == 1:
+                    foot_idx[leg] = node_off[pb.phases[i + 1].uid]
+                    found[leg] = True
+            if i >= 4:
+                break
+
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        eul = np.asarray([rpy[2], rpy[1], rpy[0]])  # HKDMPC.cpp:118 flip
+        ints = fused.pack_ints(
+            pb.T, n, kind=pa["kind"], ridx=pa["ridx"],
+            gidx_node=desc["gidx_node"], node_new=desc["node_new"],
+            gidx_u=desc["gidx_u"], gidx_reb=desc["gidx_reb"],
+            al_init=desc["al_init"], node_active=pa["node_active"],
+            cmd_idx=cmd_idx, foot_idx=foot_idx)
+        floats = fused.pack_floats(
+            pb.T, np_dtype, contact=pa["contact"],
+            contact_next=pa["contact_next"], td_mask=pa["td_mask"],
+            term_contact=pa["term_contact"], term_mask=pa["term_mask"],
+            ss_mask=pa["ss_mask"], start_mask=pa["start_mask"],
+            eul=eul, p=p, omega=omega, v=v, qJ=qJ,
+            front_contact=pb.phases[0].contact)
+
+        t0 = time.perf_counter()
+        self._state_dev, bundle = fused.fused_step(
+            self._tables, self._state_dev, ints, floats,
+            self.opt.runtime(), pb.all_shooting(), n)
+        out = fused.unpack_bundle(jax.device_get(bundle), n)
+        self.solve_time = (time.perf_counter() - t0) * 1e3
+        self._host_stale = True
+
+        cost, feas, maxt, maxp, n_iters, failed = out["scalars"]
+        self.last_result = types.SimpleNamespace(
+            state=None, cost=cost, dyn_feas=feas, max_tconstr=maxt,
+            max_pconstr=maxp, n_iters=int(n_iters),
+            solve_failed=bool(failed), cost_trace=out["cost_trace"],
+            feas_trace=out["feas_trace"], eqn_trace=out["eqn_trace"],
+            ineq_trace=out["ineq_trace"])
+        for leg in range(4):
+            if found[leg]:
+                self.pf[leg] = out["pf"][leg]
+        return MPCCommand(
+            N_mpcsteps=n, mpc_times=times, hkd_controls=out["controls"],
+            des_body_state=out["body"], contacts=contacts,
+            status_times=status, feedback=out["gains"],
+            foot_placement=self.pf.reshape(12).copy(),
+            solve_time=self.solve_time)
+
+    def materialize(self):
+        """Fused path: pull the device-resident state back into the host
+        per-phase warm-start arrays (for logging / trajectory publishers)."""
+        if getattr(self, "_host_stale", False):
+            self.problem.unflatten(self._state_dev)
+            self.update_foot_placement()
+            self._host_stale = False
 
     # ------------------------------------------------------------------
 

@@ -82,11 +82,17 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
 
     Returns (SolveResult batched, aggregates dict of replicated scalars).
     """
-    if hasattr(jax, "shard_map"):
-        smap = partial(jax.shard_map, check_vma=False)
-    else:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map
-        smap = partial(shard_map, check_rep=False)
+    # pick the replication-check kwarg by the actual signature (it was
+    # renamed check_rep -> check_vma across jax versions; attribute
+    # existence alone doesn't pin which one a given jax takes)
+    import inspect
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map as sm
+    params = inspect.signature(sm).parameters
+    kw = {"check_vma": False} if "check_vma" in params else \
+        ({"check_rep": False} if "check_rep" in params else {})
+    smap = partial(sm, **kw)
 
     @partial(smap, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P()))

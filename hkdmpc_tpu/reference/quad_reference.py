@@ -124,15 +124,28 @@ class QuadReference:
     def contact_duration_at_t(self, t: float) -> np.ndarray:
         return self.status_dur[self._index(t)]
 
+    def hkd_state_table(self) -> np.ndarray:
+        """(n, 24) dense table of hkd_state_at over every index — the
+        device-residency path gathers per-solve references from this."""
+        if getattr(self, "_state_table", None) is None:
+            c = self.contact.reshape(-1, 4, 1)
+            qd = (c * self.foot_placements.reshape(-1, 4, 3)
+                  + (1 - c) * self.qJ.reshape(-1, 4, 3)).reshape(-1, 12)
+            self._state_table = np.concatenate([self.body_state, qd], axis=1)
+        return self._state_table
+
+    def hkd_control_table(self) -> np.ndarray:
+        """(n, 24) dense table of hkd_control_at over every index."""
+        if getattr(self, "_control_table", None) is None:
+            self._control_table = np.concatenate([self.grf, self.qJd], axis=1)
+        return self._control_table
+
     def hkd_state_at(self, k_abs: int) -> np.ndarray:
         """24-dim HKD state reference at absolute index (parity:
         HKDSinglePhaseReference::get_reference_at_t, HKDReference.cpp:24-57):
         body_state, then per-leg foot placement (stance) or qJ (swing)."""
-        c = self.contact[k_abs].reshape(4, 1)
-        qd = (c * self.foot_placements[k_abs].reshape(4, 3)
-              + (1 - c) * self.qJ[k_abs].reshape(4, 3)).reshape(12)
-        return np.concatenate([self.body_state[k_abs], qd])
+        return self.hkd_state_table()[k_abs]
 
     def hkd_control_at(self, k_abs: int) -> np.ndarray:
         """24-dim control reference: [grf, commanded joint velocity]."""
-        return np.concatenate([self.grf[k_abs], self.qJd[k_abs]])
+        return self.hkd_control_table()[k_abs]

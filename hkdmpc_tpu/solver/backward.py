@@ -72,12 +72,14 @@ def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
 
 
 def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
-                   last_node, aug_sweep: bool = True):
+                   last_node, aug_sweep: bool = True, emit_G: bool = False):
     # controlled comparison at batch 1024 / v5e: aug sweep 312 ms vs 376 ms
     # end-to-end solve — the fused bordered-matrix step wins.
     """One full backward sweep at a given regularization.
 
-    Returns (dU, K, G0, H0, dV_1, dV_2, success).
+    Returns (dU, K, G0, H0, dV_1, dV_2, success); with emit_G=True appends
+    Gs (T+1, nx) — the value gradient at every node, the series the
+    reference's value_grad log records (HSDDP_Utils.h traj->G[k]).
     carry = (G, H, dV_1, dV_2, ok) — value approx at the dest node of the
     transition being processed. aug_sweep selects the fused augmented-sweep
     Riccati step (default) vs the explicit-inverse formulation.
@@ -140,15 +142,21 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
 
         G2, H2, dv1_2, dv2_2, ok2, dU_t, K_t = lax.switch(
             kind, [pad_branch, dyn_branch, reset_branch], None)
-        return (G2, H2, dv1_2, dv2_2, ok2), (dU_t, K_t)
+        return (G2, H2, dv1_2, dv2_2, ok2), (dU_t, K_t, G2)
 
     init = (G_seed, H_seed, jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.array(True))
-    (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev) = lax.scan(
+    (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev, G_rev) = lax.scan(
         step, init, jnp.arange(T - 1, -1, -1))
     # scan emitted in reverse transition order — flip back
     dU = dU_rev[::-1]
     K = K_rev[::-1]
+    if emit_G:
+        # node j's gradient = the G produced at its outgoing transition;
+        # the last active node carries the sweep seed (terminal phix)
+        Gs = jnp.zeros((T + 1, nx), dtype).at[:T].set(G_rev[::-1])
+        Gs = Gs.at[last_node].set(G_seed)
+        return dU, K, G0, H0, dV_1, dV_2, success, Gs
     return dU, K, G0, H0, dV_1, dV_2, success
 
 
@@ -184,9 +192,12 @@ def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
                               lx, lu, defect, phix, phixx, reg, last_node):
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas
 
-    # the kernel is 24-dim f32 only; other models/dtypes fall back to the
-    # plainly-vmapped scan
-    if A.shape[-2:] != (24, 24) or A.dtype != jnp.float32:
+    # the kernel is 24-dim f32 only and TPU-specific (pltpu memory spaces;
+    # interpret mode covers cpu): other models/dtypes/backends fall back to
+    # the plainly-vmapped scan
+    backend = jax.default_backend()
+    if (A.shape[-2:] != (24, 24) or A.dtype != jnp.float32
+            or backend not in ("tpu", "cpu")):
         def unbatched(*args):
             return riccati_backward.fun(*args)
         in_axes = tuple(0 if b else None for b in in_batched)
@@ -206,7 +217,7 @@ def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
     # the regularization-retry while_loop batches reg per scenario after the
     # first retry (jnp.where(ok, reg, reg_next)); the kernel takes it per-lane
     reg_v = reg if in_batched[10] else jnp.broadcast_to(reg, (axis_size,))
-    interpret = jax.default_backend() == "cpu"  # TPU pallas; interpret on CPU
+    interpret = backend == "cpu"  # TPU pallas native; interpret on CPU
     out = backward_sweep_pallas(args[0], args[1], args[2], args[3], args[4],
                                 args[5], args[6], args[7], args[8], args[9],
                                 reg_v, args[10], interpret=interpret)

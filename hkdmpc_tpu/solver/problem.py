@@ -52,8 +52,10 @@ class Phase:
     reb_eps: np.ndarray = None       # (h, 20)
     al_lambda: np.ndarray = None     # (4,)
     al_sigma: np.ndarray = None      # (4,)
+    uid: int = -1                    # stable identity across receding updates
 
     def alloc(self, pb: "HKDProblem"):
+        self.uid = pb._new_uid()
         h = self.horizon
         self.Xbar = np.zeros((h + 1, 24))
         self.Ubar = np.zeros((h, 24))
@@ -90,6 +92,13 @@ class HKDProblem:
         n_steps = int(round(plan_duration / dt_sim))
         # margin for phase boundaries (realistic gaits: <= ~8 phases/horizon)
         self.T = T if T is not None else n_steps + 15
+        self._uid_counter = 0
+        self._al_reinit_uids = set()  # phases whose AL params were re-inited
+                                      # by _add_tconstr during the last update()
+
+    def _new_uid(self) -> int:
+        self._uid_counter += 1
+        return self._uid_counter
 
     # per-row ReB/AL parameter vectors from the model's constraint terms,
     # keyed by term name (HKDProblem::loadConstrintParameters analog)
@@ -176,6 +185,7 @@ class HKDProblem:
         if td.any():
             ph.al_lambda = np.full(self.n_term_rows, self.cparams.td_al.lambda_)
             ph.al_sigma = np.full(self.n_term_rows, self.cparams.td_al.sigma)
+            self._al_reinit_uids.add(ph.uid)
 
     # ------------------------------------------------------------------
     # receding-horizon update (parity: HKDProblem.cpp:116-222)
@@ -183,6 +193,7 @@ class HKDProblem:
 
     def update(self, nsteps: Optional[int] = None):
         ref = self.ref
+        self._al_reinit_uids = set()
         for _ in range(nsteps or int(round(self.dt_mpc / self.dt_sim))):
             ref.step(self.dt_sim)
             new_start = ref.start_time
@@ -282,8 +293,77 @@ class HKDProblem:
         SinglePhase::update_SS_config)."""
         return i < len(self.phases) - 1 or self.phases[i].horizon > 2
 
-    def build(self, x0: np.ndarray):
-        """Flatten to (ProblemData, SolverState) with static size T."""
+    def flat_offsets(self) -> dict:
+        """{uid: (node_offset, trans_offset, horizon)} for the current
+        schedule in the flat layout build() produces."""
+        out = {}
+        off = 0
+        for i, ph in enumerate(self.phases):
+            out[ph.uid] = (off, off, ph.horizon)
+            off += ph.horizon + (1 if i < len(self.phases) - 1 else 0)
+        return out
+
+    def shift_descriptor(self, old_offsets: dict) -> dict:
+        """Index arrays expressing the receding-horizon warm-start update
+        (unflatten -> update() -> build of the state half) as pure gathers
+        over the *previous* flat SolverState — the device-residency fast
+        path's wire format (gather indices are host ints; the big arrays
+        never leave the device).
+
+        Call AFTER update(); `old_offsets` is flat_offsets() captured before.
+        Per-entry semantics (all -1 = "no source"):
+          gidx_node (T+1,): source node for Xbar / AL rows. Grown-tail nodes
+            clamp to the phase's old terminal (push_back dup-last,
+            TrajectoryManagement.cpp:181-207; AL params live at the moving
+            terminal node). -1 -> zero (appended phases warm-start at zero,
+            HKDProblem.cpp:116-222 quirk).
+          node_new (T+1,): 1 where dX/defect_bar are zeroed (new nodes).
+          gidx_u (T,): source transition for Ubar/dU/K. -1 -> zero.
+          gidx_reb (T,): source transition for ReB rows; grown steps clamp
+            to the phase's old last step (push_back copies constraint
+            params). -1 -> fresh default tile.
+          al_init (T+1,): 1 where _add_tconstr re-initialized AL params this
+            update (overrides the gather).
+        """
+        T = self.T
+        gidx_node = np.full(T + 1, -1, np.int32)
+        node_new = np.zeros(T + 1)
+        gidx_u = np.full(T, -1, np.int32)
+        gidx_reb = np.full(T, -1, np.int32)
+        al_init = np.zeros(T + 1)
+
+        new_offsets = self.flat_offsets()
+        for ph in self.phases:
+            no_n, to_n, h_n = new_offsets[ph.uid]
+            old = old_offsets.get(ph.uid)
+            if old is None:
+                continue  # appended phase: zeros / fresh tiles
+            no_o, to_o, h_o = old
+            trim = max(0, h_o - h_n)   # front phase: steps popped
+            grown = max(0, h_n - h_o)  # back phase: steps pushed
+            assert trim == 0 or grown == 0, \
+                "a phase cannot shrink and grow in one update"
+            for k in range(h_n + 1):
+                k_old = k + trim
+                gidx_node[no_n + k] = no_o + min(k_old, h_o)
+                if k_old > h_o:
+                    node_new[no_n + k] = 1.0
+            for k in range(h_n):
+                k_old = k + trim
+                if k_old <= h_o - 1:
+                    gidx_u[to_n + k] = to_o + k_old
+                gidx_reb[to_n + k] = to_o + min(k_old, h_o - 1)
+            if ph.uid in self._al_reinit_uids:
+                al_init[no_n + h_n] = 1.0
+
+        return dict(gidx_node=gidx_node, node_new=node_new, gidx_u=gidx_u,
+                    gidx_reb=gidx_reb, al_init=al_init)
+
+    def problem_arrays(self) -> dict:
+        """The ProblemData-side flat arrays as host numpy (no warm-start
+        state, no device transfer): the layout build() produces, plus the
+        per-node reference-table index `ridx` and `node_active` mask in
+        place of the gathered xr/ur/foot_r."""
         T = self.T
         P = len(self.phases)
         n_trans = sum(ph.horizon for ph in self.phases) + P - 1
@@ -292,63 +372,36 @@ class HKDProblem:
         kind = np.zeros(T, np.int32)
         contact = np.zeros((T, 4))
         contact_next = np.zeros((T, 4))
-        xr = np.zeros((T + 1, 24))
-        ur = np.zeros((T + 1, 24))
-        foot_r = np.zeros((T + 1, 12))
+        ridx = np.zeros(T + 1, np.int32)
+        node_active = np.zeros(T + 1)
         term_mask = np.zeros(T + 1)
         term_contact = np.zeros((T + 1, 4))
         td_mask = np.zeros((T + 1, 4))
         ss_mask = np.zeros(T + 1)
         start_mask = np.zeros(T + 1)
 
-        Xbar = np.zeros((T + 1, 24))
-        Ubar = np.zeros((T, 24))
-        dU = np.zeros((T, 24))
-        K = np.zeros((T, 24, 24))
-        dX = np.zeros((T + 1, 24))
-        defect_bar = np.zeros((T + 1, 24))
-        n_pr, n_tr = self.n_path_rows, self.n_term_rows
-        deltas, delta_mins, epss = self._reb_row_params()
-        reb_delta = np.tile(deltas, (T, 1))
-        reb_eps = np.tile(epss, (T, 1))
-        al_lambda = np.zeros((T + 1, n_tr))
-        al_sigma = np.zeros((T + 1, n_tr))
-
         t_idx = 0  # transition cursor; node j = t_idx
-        self._node_map = []  # (phase, local node) per flat node, for unflatten
+        node_map = []  # (phase, local node) per flat node, for unflatten
         for i, ph in enumerate(self.phases):
             ss = 1.0 if self._ss_on(i) else 0.0
             for k in range(ph.horizon + 1):
                 j = t_idx + k
-                t_rel = ph.start_time - self.phases[0].start_time + k * self.dt_sim
-                ridx = self.ref._index(t_rel)
-                xr[j] = self.ref.hkd_state_at(ridx)
-                ur[j] = self.ref.hkd_control_at(ridx)
-                foot_r[j] = self.ref.foot_placements[ridx]
+                t_rel = (ph.start_time - self.phases[0].start_time
+                         + k * self.dt_sim)
+                ridx[j] = self.ref._index(t_rel)
+                node_active[j] = 1.0
                 term_contact[j] = ph.contact
                 ss_mask[j] = ss
-                Xbar[j] = ph.Xbar[k]
-                dX[j] = ph.dX[k]
-                defect_bar[j] = ph.defect_bar[k]
-                self._node_map.append((i, k))
+                node_map.append((i, k))
                 if k == 0:
                     start_mask[j] = 1.0
-            for k in range(ph.horizon):
-                t = t_idx + k
-                kind[t] = DYN
-                contact[t] = ph.contact
-                contact_next[t] = ph.contact
-                Ubar[t] = ph.Ubar[k]
-                dU[t] = ph.dU[k]
-                K[t] = ph.K[k]
-                reb_delta[t] = ph.reb_delta[k]
-                reb_eps[t] = ph.reb_eps[k]
+            kind[t_idx: t_idx + ph.horizon] = DYN
+            contact[t_idx: t_idx + ph.horizon] = ph.contact
+            contact_next[t_idx: t_idx + ph.horizon] = ph.contact
             jterm = t_idx + ph.horizon
             term_mask[jterm] = 1.0
             if ph.has_tconstr:
                 td_mask[jterm] = ph.td_mask
-                al_lambda[jterm] = ph.al_lambda
-                al_sigma[jterm] = ph.al_sigma
             if i < P - 1:
                 t = t_idx + ph.horizon
                 kind[t] = RESET
@@ -358,19 +411,69 @@ class HKDProblem:
             else:
                 t_idx = t_idx + ph.horizon
 
+        return dict(kind=kind, contact=contact, contact_next=contact_next,
+                    ridx=ridx, node_active=node_active, term_mask=term_mask,
+                    term_contact=term_contact, td_mask=td_mask,
+                    ss_mask=ss_mask, start_mask=start_mask,
+                    node_map=node_map)
+
+    def build(self, x0: np.ndarray):
+        """Flatten to (ProblemData, SolverState) with static size T."""
+        T = self.T
+        pa = self.problem_arrays()
+        self._node_map = pa["node_map"]
+
+        # reference gathers from the dense tables (zeros at inactive nodes)
+        act = pa["node_active"][:, None]
+        xr = self.ref.hkd_state_table()[pa["ridx"]] * act
+        ur = self.ref.hkd_control_table()[pa["ridx"]] * act
+        foot_r = self.ref.foot_placements[pa["ridx"]] * act
+
+        Xbar = np.zeros((T + 1, 24))
+        Ubar = np.zeros((T, 24))
+        dU = np.zeros((T, 24))
+        K = np.zeros((T, 24, 24))
+        dX = np.zeros((T + 1, 24))
+        defect_bar = np.zeros((T + 1, 24))
+        n_tr = self.n_term_rows
+        deltas, delta_mins, epss = self._reb_row_params()
+        reb_delta = np.tile(deltas, (T, 1))
+        reb_eps = np.tile(epss, (T, 1))
+        al_lambda = np.zeros((T + 1, n_tr))
+        al_sigma = np.zeros((T + 1, n_tr))
+
+        t_idx = 0
+        for i, ph in enumerate(self.phases):
+            for k in range(ph.horizon + 1):
+                j = t_idx + k
+                Xbar[j] = ph.Xbar[k]
+                dX[j] = ph.dX[k]
+                defect_bar[j] = ph.defect_bar[k]
+            h = ph.horizon
+            Ubar[t_idx: t_idx + h] = ph.Ubar
+            dU[t_idx: t_idx + h] = ph.dU
+            K[t_idx: t_idx + h] = ph.K
+            reb_delta[t_idx: t_idx + h] = ph.reb_delta
+            reb_eps[t_idx: t_idx + h] = ph.reb_eps
+            jterm = t_idx + h
+            if ph.has_tconstr:
+                al_lambda[jterm] = ph.al_lambda
+                al_sigma[jterm] = ph.al_sigma
+            t_idx += h + (1 if i < len(self.phases) - 1 else 0)
+
         dtype = self.dtype
         prob = ProblemData(
-            kind=jnp.asarray(kind),
-            contact=jnp.asarray(contact, dtype),
-            contact_next=jnp.asarray(contact_next, dtype),
+            kind=jnp.asarray(pa["kind"]),
+            contact=jnp.asarray(pa["contact"], dtype),
+            contact_next=jnp.asarray(pa["contact_next"], dtype),
             dt=jnp.asarray(self.dt_sim, dtype),
             xr=jnp.asarray(xr, dtype), ur=jnp.asarray(ur, dtype),
             foot_r=jnp.asarray(foot_r, dtype),
-            term_mask=jnp.asarray(term_mask, dtype),
-            term_contact=jnp.asarray(term_contact, dtype),
-            td_mask=jnp.asarray(td_mask, dtype),
-            ss_mask=jnp.asarray(ss_mask, dtype),
-            start_mask=jnp.asarray(start_mask, dtype),
+            term_mask=jnp.asarray(pa["term_mask"], dtype),
+            term_contact=jnp.asarray(pa["term_contact"], dtype),
+            td_mask=jnp.asarray(pa["td_mask"], dtype),
+            ss_mask=jnp.asarray(pa["ss_mask"], dtype),
+            start_mask=jnp.asarray(pa["start_mask"], dtype),
             x0=jnp.asarray(x0, dtype),
         )
         constr = ConstraintState(

@@ -190,7 +190,22 @@ def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
     if getattr(model, "compute_cost_tbatch", None) is not None:
         return model.compute_cost_tbatch(prob, X, U, constr, reb_active,
                                          al_active)
-    is_dyn = prob.is_dyn
+    run_l, term_phi, g_all, h_all = cost_nodes(prob, X, U, constr, reb_active,
+                                               al_active, model)
+    total = (jnp.sum(prob.is_dyn * run_l)
+             + jnp.sum(prob.term_mask * term_phi))
+    return total, (g_all, h_all)
+
+
+def cost_nodes(prob: ProblemData, X, U, constr, reb_active: bool,
+               al_active: bool, model=None):
+    """Per-node cost breakdown: (run_l (T,), term_phi (T+1,), g_all, h_all).
+
+    run_l is the reference's rcostData[k].l (ReB barrier included when
+    active, SinglePhase.cpp:240-250); term_phi is tcostData.Phi (AL penalty
+    included when active, :253-260) — the series the reference's cost log
+    files record (HSDDP_Utils.h:80-142)."""
+    model = model or _default_model()
 
     def run_one(t):
         x, u = X[t], U[t]
@@ -204,7 +219,6 @@ def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
         return l, g * row_mask + (1.0 - row_mask)
 
     run_l, g_all = jax.vmap(run_one)(jnp.arange(prob.T))
-    total = jnp.sum(is_dyn * run_l)
 
     def term_one(j):
         x = X[j]
@@ -217,8 +231,7 @@ def compute_cost(prob: ProblemData, X, U, constr, reb_active: bool,
         return phi, h * h_mask
 
     term_phi, h_all = jax.vmap(term_one)(jnp.arange(prob.T + 1))
-    total = total + jnp.sum(prob.term_mask * term_phi)
-    return total, (g_all, h_all)
+    return run_l, term_phi, g_all, h_all
 
 
 def max_violations(prob: ProblemData, g_all, h_all):
@@ -248,11 +261,18 @@ def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
     Pallas kernel (f32, lux-free models only — the kernel drops lux).
     """
     last = last_active_node(prob)
-    if pallas and lq.lux is None:
-        return linear_rollout_cv(prob.kind, lq.A, lq.B, state.K, state.dU,
-                                 defect, lq.lx, lq.lu, lq.lxx, lq.luu,
-                                 lq.phix, lq.phixx,
-                                 jnp.asarray(eps, lq.lx.dtype), last)
+    if pallas:
+        if lq.lux is None:
+            return linear_rollout_cv(prob.kind, lq.A, lq.B, state.K, state.dU,
+                                     defect, lq.lx, lq.lu, lq.lxx, lq.luu,
+                                     lq.phix, lq.phixx,
+                                     jnp.asarray(eps, lq.lx.dtype), last)
+        # trace-time (static) condition: warn once so a benchmarked model
+        # with u-x cross terms doesn't silently lose the kernel
+        import warnings
+        warnings.warn("linear_rollout(pallas=True) ignored: model has u-x "
+                      "cross cost terms (lux); running the scan instead",
+                      stacklevel=2)
     return _linear_rollout_impl(prob, state, lq, defect, eps, last)
 
 
@@ -333,7 +353,11 @@ def _linear_rollout_batched(axis_size, in_batched, kind, A, B, K, dU, defect,
                             lx, lu, lxx, luu, phix, phixx, eps, last_node):
     from hkdmpc_tpu.ops.pallas_linear import linear_rollout_pallas
 
-    if A.shape[-2:] != (24, 24) or A.dtype != jnp.float32:
+    # kernel is 24-dim f32 TPU-specific (interpret mode covers cpu): other
+    # models/dtypes/backends fall back to the plainly-vmapped scan
+    backend = jax.default_backend()
+    if (A.shape[-2:] != (24, 24) or A.dtype != jnp.float32
+            or backend not in ("tpu", "cpu")):
         def unbatched(*args):
             return linear_rollout_cv.fun(*args)
         in_axes = tuple(0 if b else None for b in in_batched)
@@ -349,6 +373,6 @@ def _linear_rollout_batched(axis_size, in_batched, kind, A, B, K, dU, defect,
     args = [bc(a, b) for a, b in zip(arrs, in_batched[:12])]
     eps_v = eps if in_batched[12] else jnp.broadcast_to(eps, (axis_size,))
     ln_v = bc(last_node, in_batched[13])
-    interpret = jax.default_backend() == "cpu"
+    interpret = backend == "cpu"
     out = linear_rollout_pallas(*args, eps_v, ln_v, interpret=interpret)
     return out, (True, True, True)

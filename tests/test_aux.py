@@ -47,6 +47,59 @@ def test_checkpoint_roundtrip(tmp_path):
     assert abs(float(ra.cost) - float(rb.cost)) < 1e-10
 
 
+def test_log_file_set_roundtrip(tmp_path):
+    """The complete reference log-file set (HSDDP_Utils.h:80-222): four
+    sequence logs + dynamics partial dumps, internally consistent with the
+    solve (cost log sums to the reported total cost)."""
+    from hkdmpc_tpu.utils.logging import load_log, log_solution
+
+    pb, x0, opt = make_trot(plan_duration=0.3)
+    prob, state = pb.build(x0)
+    res = ddp.solve_jit(prob, state, opt)
+    pb.unflatten(res.state)
+    prob2, state2 = pb.build(x0)
+    folder = str(tmp_path)
+    log_solution(folder, pb, prob2, state2, opt)
+
+    names = ["state_log.txt", "control_log.txt", "cost_log.txt",
+             "value_grad_log.txt", "dynamics_partial_A.txt",
+             "dynamics_partial_B.txt"]
+    for n in names:
+        assert os.path.exists(os.path.join(folder, n)), n
+
+    n_rows = sum(ph.horizon + 1 for ph in pb.phases)
+    states = load_log(os.path.join(folder, "state_log.txt"))
+    controls = load_log(os.path.join(folder, "control_log.txt"))
+    costs = load_log(os.path.join(folder, "cost_log.txt"))
+    grads = load_log(os.path.join(folder, "value_grad_log.txt"))
+    assert states.shape == (n_rows, 24)
+    assert controls.shape == (n_rows, 24)
+    assert grads.shape == (n_rows, 24)
+    assert costs.shape == (n_rows, 1)
+
+    # rows reproduce the warm-start arrays (5 significant digits)
+    j = 0
+    for ph in pb.phases:
+        np.testing.assert_allclose(states[j: j + ph.horizon + 1], ph.Xbar,
+                                   rtol=1e-4, atol=1e-4)
+        # last control row duplicated (HSDDP_Utils.h:130-131)
+        np.testing.assert_allclose(controls[j + ph.horizon],
+                                   controls[j + ph.horizon - 1])
+        j += ph.horizon + 1
+
+    # cost log sums to the solve's reported cost
+    assert abs(costs.sum() - float(res.cost)) < 1e-3 * max(1.0, float(res.cost))
+
+    # A partials: one (24,24) block per step, blank-line separated
+    with open(os.path.join(folder, "dynamics_partial_A.txt")) as f:
+        blocks = [b for b in f.read().strip().split("\n\n") if b.strip()]
+    assert len(blocks) == sum(ph.horizon for ph in pb.phases)
+    first = np.asarray([[float(w) for w in r.split()]
+                        for r in blocks[0].splitlines()])
+    assert first.shape == (24, 24)
+    assert np.isfinite(first).all()
+
+
 def test_f32_solve_close_to_f64():
     """dtype study (SURVEY §7 hard part: f64->f32): the f32 solve must reach
     the same optimum within loose tolerance on the trot cold solve."""

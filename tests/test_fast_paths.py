@@ -267,3 +267,54 @@ def test_solve_pallas_linear_equivalent_under_vmap():
                                rtol=1e-3, atol=2e-3)
     assert not bool(jnp.any(res_a.solve_failed))
     assert not bool(jnp.any(res_b.solve_failed))
+
+
+def test_fused_mpc_step_matches_classic():
+    """Device-resident fused MPC step (mpc/fused.py) == faithful
+    unflatten->update->build->solve path, step for step over a closed-loop
+    trot segment crossing phase pops/appends."""
+    from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
+
+    REF = "/root/reference/Reference/Data/trot/quad_reference.csv"
+    SET = "/root/reference/HKDMPC/settings/ddp_setting.info"
+    CPAR = "/root/reference/HKDMPC/settings/constraint_params.info"
+
+    classic = HKDMPCSolver(REF, SET, CPAR, MPCConfig())
+    fused = HKDMPCSolver(REF, SET, CPAR, MPCConfig(fused_step=True))
+    c0 = classic.initialize()
+    f0 = fused.initialize()
+    np.testing.assert_allclose(f0.hkd_controls, c0.hkd_controls)
+
+    rng = np.random.default_rng(3)
+    for step in range(12):
+        meas = dict(
+            rpy=rng.normal(scale=0.01, size=3),
+            p=np.array([0.0, 0.0, 0.25]) + rng.normal(scale=0.005, size=3),
+            v=rng.normal(scale=0.02, size=3),
+            omega=rng.normal(scale=0.02, size=3),
+            qJ=np.tile([0.0, -0.8, 1.6], 4) + rng.normal(scale=0.01, size=12),
+            mpc_time=step * 0.01)
+        cc = classic.update(**meas)
+        fc = fused.update(**meas)
+        np.testing.assert_allclose(fc.hkd_controls, cc.hkd_controls,
+                                   rtol=1e-9, atol=1e-10, err_msg=f"step {step}")
+        np.testing.assert_allclose(fc.des_body_state, cc.des_body_state,
+                                   rtol=1e-9, atol=1e-10, err_msg=f"step {step}")
+        np.testing.assert_allclose(fc.feedback, cc.feedback,
+                                   rtol=1e-8, atol=1e-8, err_msg=f"step {step}")
+        np.testing.assert_array_equal(fc.contacts, cc.contacts)
+        np.testing.assert_allclose(fc.status_times, cc.status_times)
+        np.testing.assert_allclose(fc.foot_placement, cc.foot_placement,
+                                   rtol=1e-9, atol=1e-10, err_msg=f"step {step}")
+        # per-iteration traces identical -> same solve path taken
+        ct_c = np.asarray(classic.last_result.cost_trace)
+        ct_f = np.asarray(fused.last_result.cost_trace)
+        np.testing.assert_allclose(
+            ct_f[~np.isnan(ct_f)], ct_c[~np.isnan(ct_c)], rtol=1e-9,
+            err_msg=f"step {step}")
+
+    # materialize() refreshes host arrays to match the classic problem state
+    fused.materialize()
+    for a, b in zip(classic.problem.phases, fused.problem.phases):
+        np.testing.assert_allclose(b.Xbar, a.Xbar, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(b.Ubar, a.Ubar, rtol=1e-9, atol=1e-10)
