@@ -163,7 +163,10 @@ class UdpmTransport {
     void rx_loop() {
         std::vector<uint8_t> buf(65536);
         while (running_) {
-            ssize_t n = recv(recv_fd_, buf.data(), buf.size(), 0);
+            sockaddr_in src{};
+            socklen_t slen = sizeof(src);
+            ssize_t n = recvfrom(recv_fd_, buf.data(), buf.size(), 0,
+                                 (sockaddr *)&src, &slen);
             if (n <= 8) continue;
             uint32_t magic;
             memcpy(&magic, buf.data(), 4);
@@ -175,12 +178,12 @@ class UdpmTransport {
                 if ((ssize_t)payload_off > n) continue;
                 deliver(chan, buf.data() + payload_off, n - payload_off);
             } else if (magic == MAGIC_FRAG && n >= 20) {
-                handle_frag(buf.data(), n);
+                handle_frag(buf.data(), n, src);
             }
         }
     }
 
-    void handle_frag(const uint8_t *p, ssize_t n) {
+    void handle_frag(const uint8_t *p, ssize_t n, const sockaddr_in &src) {
         uint32_t seq, msg_size, offset;
         uint16_t fno, ftotal;
         memcpy(&seq, p + 4, 4); seq = ntohl(seq);
@@ -189,7 +192,12 @@ class UdpmTransport {
         memcpy(&fno, p + 16, 2); fno = ntohs(fno);
         memcpy(&ftotal, p + 18, 2); ftotal = ntohs(ftotal);
         size_t data_off = 20;
-        FragBuf &fb = frags_[seq];
+        // reassembly keyed by (sender, seq): two senders colliding on seq
+        // must not corrupt each other (liblcm keys by sender address too)
+        char key[64];
+        snprintf(key, sizeof(key), "%08x:%04x:%u", ntohl(src.sin_addr.s_addr),
+                 ntohs(src.sin_port), seq);
+        FragBuf &fb = frags_[key];
         if (fb.data.empty()) {
             fb.data.resize(msg_size);
             fb.msg_size = msg_size;
@@ -208,8 +216,10 @@ class UdpmTransport {
         }
         if (fb.frags_seen == fb.frags_total) {
             deliver(fb.channel.c_str(), fb.data.data(), fb.data.size());
-            frags_.erase(seq);
+            frags_.erase(key);
         }
+        // bound stale partial reassemblies (dropped fragments)
+        if (frags_.size() > 64) frags_.erase(frags_.begin());
     }
 
     void deliver(const char *chan, const uint8_t *data, size_t len) {

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from hkdmpc_tpu.models import mini_cheetah as mc
+from hkdmpc_tpu.ops import precise
 
 
 def euler_zyx_to_rotmat(eul):
@@ -73,7 +74,7 @@ def foot_position(pos, eul, qleg, leg):
     R = euler_zyx_to_rotmat(eul)
     hip = jnp.asarray(mc.HIP_OFFSETS[leg], dtype=pos.dtype)
     p_hip = leg_forward_kinematics(qleg, float(mc.SIDE_SIGNS[leg]))
-    return pos + R @ (hip + p_hip)
+    return pos + precise.mv(R, hip + p_hip)
 
 
 def foot_positions(pos, eul, qJ):
@@ -94,7 +95,10 @@ def _euler_zyx_rotmat_derivs(eul):
     dRz = jnp.array([[-sy, -cy, 0.0], [cy, -sy, 0.0], [0.0, 0.0, 0.0]])
     dRy = jnp.array([[-sp, 0.0, cp], [0.0, 0.0, 0.0], [-cp, 0.0, -sp]])
     dRx = jnp.array([[0.0, 0.0, 0.0], [0.0, -sr, -cr], [0.0, cr, -sr]])
-    return Rz @ Ry @ Rx, dRz @ Ry @ Rx, Rz @ dRy @ Rx, Rz @ Ry @ dRx
+    RyRx = precise.mm(Ry, Rx)
+    return (precise.mm(Rz, RyRx), precise.mm(dRz, RyRx),
+            precise.mm(Rz, precise.mm(dRy, Rx)),
+            precise.mm(precise.mm(Rz, Ry), dRx))
 
 
 def leg_jacobian(qleg, side_sign):
@@ -123,8 +127,9 @@ def foot_jacobian_analytic(pos, eul, qleg, leg):
     R, dRy_, dRp_, dRr_ = _euler_zyx_rotmat_derivs(eul)
     p = jnp.asarray(mc.HIP_OFFSETS[leg], eul.dtype) + leg_forward_kinematics(
         qleg, float(mc.SIDE_SIGNS[leg]))
-    d_eul = jnp.stack([dRy_ @ p, dRp_ @ p, dRr_ @ p], axis=1)
-    d_q = R @ leg_jacobian(qleg, float(mc.SIDE_SIGNS[leg]))
+    d_eul = jnp.stack([precise.mv(dRy_, p), precise.mv(dRp_, p),
+                       precise.mv(dRr_, p)], axis=1)
+    d_q = precise.mm(R, leg_jacobian(qleg, float(mc.SIDE_SIGNS[leg])))
     return d_eul, d_q
 
 
@@ -168,15 +173,15 @@ def dynamics_continuous(x, u, contact):
     c = contact.reshape(4, 1)
 
     R = euler_zyx_to_rotmat(eul)
-    eul_dot = euler_zyx_rates_matrix(eul) @ omega
+    eul_dot = precise.mv(euler_zyx_rates_matrix(eul), omega)
 
     # torque about CoM in body frame; stance feet assumed on the ground (z = 0),
     # foot xy from qdummy (reference: hkinodyn_casadi.cpp body)
     foot_xy = qdummy.reshape(4, 3)
     r_world = jnp.concatenate(
         [foot_xy[:, 0:2] - pos[0:2], jnp.broadcast_to(-pos[2], (4, 1))], axis=1)
-    r_body = r_world @ R            # == (R^T r^T)^T
-    f_body = grf @ R
+    r_body = precise.mm(r_world, R)  # == (R^T r^T)^T
+    f_body = precise.mm(grf, R)
     tau_body = jnp.sum(c * jnp.cross(r_body, f_body), axis=0)
 
     I_diag = jnp.asarray(mc.INERTIA_DIAG, dtype=dtype)
@@ -262,17 +267,20 @@ def dynamics_jacobians_analytic(x, u, contact, dt):
     Rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
     Ry = jnp.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
     Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
-    dR_yaw = dRz @ Ry @ Rx
-    dR_pitch = Rz @ dRy @ Rx
-    dR_roll = Rz @ Ry @ dRx
-    dtau_deul = jnp.stack([dR_yaw.T @ m, dR_pitch.T @ m, dR_roll.T @ m], axis=1)
+    RyRx = precise.mm(Ry, Rx)
+    dR_yaw = precise.mm(dRz, RyRx)
+    dR_pitch = precise.mm(Rz, precise.mm(dRy, Rx))
+    dR_roll = precise.mm(precise.mm(Rz, Ry), dRx)
+    dtau_deul = jnp.stack([precise.mv(dR_yaw.T, m), precise.mv(dR_pitch.T, m),
+                           precise.mv(dR_roll.T, m)], axis=1)
 
-    dtau_dpos = R.T @ _cross_mat(F_c)
+    dtau_dpos = precise.mm(R.T, _cross_mat(F_c))
 
     I_diag = jnp.asarray(mc.INERTIA_DIAG, dtype=dtype)
     I_inv = jnp.asarray(mc.INERTIA_INV_DIAG, dtype=dtype)
     # d/dw [ -w x (I w) ] = -( [w]x I - [I w]x )
-    gyro = -(_cross_mat(omega) @ jnp.diag(I_diag) - _cross_mat(I_diag * omega))
+    gyro = -(precise.mm(_cross_mat(omega), jnp.diag(I_diag))
+             - _cross_mat(I_diag * omega))
 
     # d tau / d qdummy: per leg, columns (x, y) are R^T (e_j x f_l), z is 0
     # e_x x f = (0, -f_z, f_y); e_y x f = (f_z, 0, -f_x)
@@ -282,8 +290,8 @@ def dynamics_jacobians_analytic(x, u, contact, dt):
         f = grf[l]
         ex_cross_f = jnp.array([0.0, -f[2], f[1]], dtype)
         ey_cross_f = jnp.array([f[2], 0.0, -f[0]], dtype)
-        cols.append(c[l] * (R.T @ ex_cross_f))
-        cols.append(c[l] * (R.T @ ey_cross_f))
+        cols.append(c[l] * precise.mv(R.T, ex_cross_f))
+        cols.append(c[l] * precise.mv(R.T, ey_cross_f))
         cols.append(zero3)
     dtau_dqd = jnp.stack(cols, axis=1)
 
@@ -303,7 +311,7 @@ def dynamics_jacobians_analytic(x, u, contact, dt):
     B = jnp.zeros((24, 24), dtype)
     for l in range(4):
         B = B.at[6:9, 3 * l:3 * l + 3].set(
-            c[l] * (Iinv_col * (R.T @ _cross_mat(r_world[l]))))
+            c[l] * (Iinv_col * precise.mm(R.T, _cross_mat(r_world[l]))))
         B = B.at[9:12, 3 * l:3 * l + 3].set(
             (c[l] / mc.MASS) * jnp.eye(3, dtype=dtype))
     B = B.at[12:24, 12:24].set(jnp.diag(1.0 - c12))

@@ -120,9 +120,12 @@ class HKDMPCSolver:
             jnp.asarray(contact, jnp.float64))
         return np.concatenate([eul, p, omega, v, np.asarray(qd)])
 
-    def initialize(self) -> MPCCommand:
+    def initialize(self, x0=None) -> MPCCommand:
+        """Cold solve. x0 defaults to the reference's hard-coded stand pose
+        (HKDMPC.cpp:44-54); pass a 24-dim HKD state to start mid-gait."""
         self.problem.initialization()
-        x0 = self.default_stand_state(self.problem.phases[0].contact)
+        if x0 is None:
+            x0 = self.default_stand_state(self.problem.phases[0].contact)
         prob, state = self.problem.build(x0)
         t0 = time.perf_counter()
         res = ddp.solve_jit(prob, state, self.opt,

@@ -97,11 +97,9 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
     @partial(smap, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P()))
     def _solve_shard(prob_shard, state_shard):
-        res = jax.vmap(
-            ddp.solve,
-            in_axes=(0, 0, None, None, None, None, None, None))(
-            prob_shard, state_shard, opt, parallel_rollout, None, False,
-            True, pallas_backward)
+        res = jax.vmap(lambda p, s: ddp.solve(
+            p, s, opt, parallel_rollout=parallel_rollout,
+            pallas_backward=pallas_backward))(prob_shard, state_shard)
         n_local = res.cost.shape[0]
         agg = {
             "mean_cost": jax.lax.psum(jnp.sum(res.cost), axis)

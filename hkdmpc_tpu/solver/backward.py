@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from hkdmpc_tpu.ops import precise
 from hkdmpc_tpu.ops.linalg import sweep_inverse
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET, LQData, ProblemData
 
@@ -100,12 +101,14 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
 
         def dyn_branch(_):
             # defect correction of the dest node (SinglePhase.cpp:319-321)
-            Gn = G + H @ defect[t + 1]
-            Qx = lq.lx[t] + lq.A[t].T @ Gn
-            Qu = lq.lu[t] + lq.B[t].T @ Gn
-            Qxx = lq.lxx[t] + lq.A[t].T @ H @ lq.A[t]
-            Quu = lq.luu[t] + lq.B[t].T @ H @ lq.B[t]
-            Qux = lq.B[t].T @ H @ lq.A[t]
+            Gn = G + precise.mv(H, defect[t + 1])
+            HA = precise.mm(H, lq.A[t])
+            HB = precise.mm(H, lq.B[t])
+            Qx = lq.lx[t] + precise.mv(lq.A[t].T, Gn)
+            Qu = lq.lu[t] + precise.mv(lq.B[t].T, Gn)
+            Qxx = lq.lxx[t] + precise.mm(lq.A[t].T, HA)
+            Quu = lq.luu[t] + precise.mm(lq.B[t].T, HB)
+            Qux = precise.mm(lq.B[t].T, HA)
             if lq.lux is not None:
                 Qux = Qux + lq.lux[t]
             Qxx = Qxx + regularization * eye_x
@@ -118,21 +121,21 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
                 Quu_inv = jnp.where(psd, Quu_inv, eye_u)
                 Quu_inv = 0.5 * (Quu_inv + Quu_inv.T)
                 Qxx_s = 0.5 * (Qxx + Qxx.T)
-                dU_t = -Quu_inv @ Qu
-                K_t = -Quu_inv @ Qux
-                G_new = Qx - Qux.T @ Quu_inv @ Qu
-                H_new = Qxx_s - Qux.T @ Quu_inv @ Qux
-                dv_k = -Qu @ dU_t
+                dU_t = -precise.mv(Quu_inv, Qu)
+                K_t = -precise.mm(Quu_inv, Qux)
+                G_new = Qx + precise.mv(Qux.T, dU_t)
+                H_new = Qxx_s + precise.mm(Qux.T, K_t)
+                dv_k = -jnp.sum(Qu * dU_t)
             return (G_new, H_new, dv1 - dv_k, dv2 + dv_k,
                     jnp.logical_and(ok, psd), dU_t, K_t)
 
         def reset_branch(_):
             # phase-start defect correction (SinglePhase.cpp:363-365), then
             # impact-aware sandwich, then terminal cost/AL seed of source node
-            Gn = G + H @ defect[t + 1]
+            Gn = G + precise.mv(H, defect[t + 1])
             Px = lq.A[t]
-            G_new = lq.phix[t] + Px.T @ Gn
-            H_new = lq.phixx[t] + Px.T @ H @ Px
+            G_new = lq.phix[t] + precise.mv(Px.T, Gn)
+            H_new = lq.phixx[t] + precise.mm(Px.T, precise.mm(H, Px))
             return (G_new, H_new, dv1, dv2, ok,
                     jnp.zeros(nu, dtype), jnp.zeros((nu, nx), dtype))
 

@@ -90,9 +90,12 @@ for _leg in range(4):
 
 
 def grf_constraints(u, contact, dtype=None):
-    """(g (20,), row_mask (20,)). Rows of swing legs are masked."""
+    """(g (20,), row_mask (20,)). Rows of swing legs are masked.
+    VPU-exact matvec: cone rows feed the ReB barrier cost, so bf16 MXU
+    rounding here would bias the objective (ops/precise.py)."""
     dtype = dtype or u.dtype
-    g = jnp.asarray(_A_GRF, dtype=dtype) @ u
+    from hkdmpc_tpu.ops import precise
+    g = precise.mv(jnp.asarray(_A_GRF, dtype=dtype), u)
     row_mask = jnp.repeat(contact, 5)
     return g, row_mask
 

@@ -68,8 +68,7 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           parallel_rollout: bool = False, model=None,
           assoc_linear: bool = False, aug_sweep: bool = True,
-          pallas_backward: bool = False,
-          pallas_linear: bool = False) -> SolveResult:
+          pallas_backward: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -160,8 +159,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
                                                     c["defect"], 1.0)
             else:
                 dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd,
-                                                     c["defect"], 1.0,
-                                                     pallas_linear)
+                                                     c["defect"], 1.0)
             st = _replace(st, dX=dX)
 
         dv_abs = jnp.abs(dv1 + 0.5 * dv2)
@@ -286,21 +284,20 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward", "pallas_linear"))
+                     "aug_sweep", "pallas_backward"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes.
 # Only (prob, state) are vmapped; every flag is a keyword-defaulted static
 # threaded through a closure, so adding a new solve flag can never strand a
 # call site on a stale in_axes tuple again (round-1 regression).
 def _solve_batch(prob, state, opt, parallel_rollout=False, model=None,
-                 assoc_linear=False, aug_sweep=True, pallas_backward=False,
-                 pallas_linear=False):
+                 assoc_linear=False, aug_sweep=True, pallas_backward=False):
     fn = lambda p, s: solve(p, s, opt, parallel_rollout, model, assoc_linear,
-                            aug_sweep, pallas_backward, pallas_linear)
+                            aug_sweep, pallas_backward)
     return jax.vmap(fn)(prob, state)
 
 
 solve_batch = jax.jit(
     _solve_batch,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward", "pallas_linear"))
+                     "aug_sweep", "pallas_backward"))

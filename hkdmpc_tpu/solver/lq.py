@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from hkdmpc_tpu.ops import precise
 from hkdmpc_tpu.solver import costs
 from hkdmpc_tpu.solver.rollout import _default_model, run_ctx, term_ctx
 from hkdmpc_tpu.solver.structs import DYN, RESET, LQData, ProblemData
@@ -52,10 +53,10 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
                                           constr.reb_eps[t])
                 d1 = row_mask * d1
                 d2 = row_mask * d2
-                lx = lx + prob.dt * gx.T @ d1
-                lu = lu + prob.dt * gu.T @ d1
-                lxx = lxx + prob.dt * gx.T @ (d2[:, None] * gx)
-                luu = luu + prob.dt * gu.T @ (d2[:, None] * gu)
+                lx = lx + prob.dt * precise.vm(d1, gx)
+                lu = lu + prob.dt * precise.vm(d1, gu)
+                lxx = lxx + prob.dt * precise.xtwx(gx, d2)
+                luu = luu + prob.dt * precise.xtwx(gu, d2)
             return A, B, lx, lu, lxx, luu, lux
 
         xs, us = model.xs, model.us
@@ -86,8 +87,8 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
             sig, lam = constr.al_sigma[j], constr.al_lambda[j]
             w1 = h_mask * (sig * h + lam)
             w2 = h_mask * (sig * (1.0 + h) + lam)
-            phix = phix + hx.T @ w1
-            phixx = phixx + hx.T @ (w2[:, None] * hx)
+            phix = phix + precise.vm(w1, hx)
+            phixx = phixx + precise.xtwx(hx, w2)
         m = prob.term_mask[j]
         return m * phix, m * phixx
 
@@ -127,10 +128,10 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
                                       constr.reb_eps[t])
             d1 = row_mask * d1
             d2 = row_mask * d2
-            lx = lx + prob.dt * gx.T @ d1
-            lu = lu + prob.dt * gu.T @ d1
-            lxx = lxx + prob.dt * gx.T @ (d2[:, None] * gx)
-            luu = luu + prob.dt * gu.T @ (d2[:, None] * gu)
+            lx = lx + prob.dt * precise.vm(d1, gx)
+            lu = lu + prob.dt * precise.vm(d1, gu)
+            lxx = lxx + prob.dt * precise.xtwx(gx, d2)
+            luu = luu + prob.dt * precise.xtwx(gu, d2)
         m = is_dyn[t]
         return m * lx, m * lu, m * lxx, m * luu, m * lux
 
@@ -146,8 +147,8 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
             sig, lam = constr.al_sigma[j], constr.al_lambda[j]
             w1 = h_mask * (sig * h + lam)
             w2 = h_mask * (sig * (1.0 + h) + lam)
-            phix = phix + hx.T @ w1
-            phixx = phixx + hx.T @ (w2[:, None] * hx)
+            phix = phix + precise.vm(w1, hx)
+            phixx = phixx + precise.xtwx(hx, w2)
         m = prob.term_mask[j]
         return m * phix, m * phixx
 

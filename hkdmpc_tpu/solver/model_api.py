@@ -225,7 +225,11 @@ class HKDFootPlaceReg(CostTerm):
                                             ctx["foot_r"], dtype)
         z24 = jnp.zeros(24, dtype)
         Z = jnp.zeros((24, 24), dtype)
-        return (dt * J.T @ (qf * d), z24, dt * J.T @ (qf[:, None] * J), Z, Z)
+        from hkdmpc_tpu.ops import precise
+        lx = dt * precise.vm(qf * d, J)
+        lxx = dt * jnp.sum(J[:, :, None] * (qf[:, None, None] * J[:, None, :]),
+                           axis=0)
+        return (lx, z24, lxx, Z, Z)
 
     def terminal(self, x, ctx):
         d, qf, _ = hkd_costs._footreg_terms(x, ctx["term_contact"], ctx["xr"],
@@ -235,7 +239,10 @@ class HKDFootPlaceReg(CostTerm):
     def terminal_partials(self, x, ctx):
         d, qf, J = hkd_costs._footreg_terms(x, ctx["term_contact"], ctx["xr"],
                                             ctx["foot_r"], x.dtype)
-        return 20.0 * J.T @ (qf * d), 20.0 * J.T @ (qf[:, None] * J)
+        from hkdmpc_tpu.ops import precise
+        return (20.0 * precise.vm(qf * d, J),
+                20.0 * jnp.sum(J[:, :, None]
+                               * (qf[:, None, None] * J[:, None, :]), axis=0))
 
 
 class GRFConstraint(PathConstraintTerm):

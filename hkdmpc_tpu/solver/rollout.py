@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from hkdmpc_tpu.models import hkd
+from hkdmpc_tpu.ops import precise
 from hkdmpc_tpu.solver import costs
 from hkdmpc_tpu.solver.structs import (DYN, PAD, RESET, LQData, ProblemData,
                                        Rollout, SolverState)
@@ -74,7 +75,7 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
 
         def dyn_branch(_):
             u = (state.Ubar[t] + eps * state.dU[t]
-                 + state.K[t] @ (x - state.Xbar[t]))
+                 + precise.mv(state.K[t], x - state.Xbar[t]))
             xsim_next = model.dynamics(x, u, prob.contact[t], prob.dt)
             return xsim_next, xsim_next, u
 
@@ -132,7 +133,7 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
 
     X = state.Xbar + eps * state.dX                               # (T+1,24)
     U = state.Ubar + eps * (state.dU
-                            + jnp.einsum("tij,tj->ti", state.K, state.dX[:-1]))
+                            + precise.mv(state.K, state.dX[:-1]))
 
     if getattr(model, "dynamics_tbatch", None) is not None:
         sim = model.dynamics_tbatch(X[:-1], U, prob.contact, prob.dt)
@@ -252,27 +253,17 @@ def max_violations(prob: ProblemData, g_all, h_all):
 
 
 def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
-                   defect, eps, pallas: bool = False) -> tuple:
+                   defect, eps) -> tuple:
     """Propagate the linearized dynamics along (dU, K) to get the
     multiple-shooting search direction dX and expected cost change.
 
-    Returns (dX (T+1,24), dV_1, dV_2). With pallas=True (static), dispatch
-    through the custom_vmap hook so vmapped solves run the batch-in-lanes
-    Pallas kernel (f32, lux-free models only — the kernel drops lux).
+    Returns (dX (T+1,24), dV_1, dV_2). (A batch-in-lanes Pallas variant was
+    measured and deleted: it lost at saturating batch — 597 vs 376 ms at
+    B=1024 v5e — and its unbatched custom_vmap rule meant it could never
+    engage at batch 1, so no configuration existed where it won; the
+    assoc-scan variant in ops/assoc.py remains the parallel-in-time option.)
     """
     last = last_active_node(prob)
-    if pallas:
-        if lq.lux is None:
-            return linear_rollout_cv(prob.kind, lq.A, lq.B, state.K, state.dU,
-                                     defect, lq.lx, lq.lu, lq.lxx, lq.luu,
-                                     lq.phix, lq.phixx,
-                                     jnp.asarray(eps, lq.lx.dtype), last)
-        # trace-time (static) condition: warn once so a benchmarked model
-        # with u-x cross terms doesn't silently lose the kernel
-        import warnings
-        warnings.warn("linear_rollout(pallas=True) ignored: model has u-x "
-                      "cross cost terms (lux); running the scan instead",
-                      stacklevel=2)
     return _linear_rollout_impl(prob, state, lq, defect, eps, last)
 
 
@@ -280,38 +271,6 @@ def last_active_node(prob: ProblemData):
     """Index of the last active node (terminal node of the final phase)."""
     act = (prob.kind != PAD)
     return jnp.sum(act.astype(jnp.int32))  # nodes 0..n_active
-
-
-# ---------------------------------------------------------------------------
-# custom_vmap dispatch for the linear rollout: under vmap(solve) the batched
-# rule runs the whole forward propagation as one Pallas kernel
-# (ops/pallas_linear.py) with batch in the TPU lane dimension; unbatched
-# calls keep the faithful scan. Enabled with ddp.solve(pallas_linear=True)
-# (f32, lux-free models only).
-# ---------------------------------------------------------------------------
-
-from jax.custom_batching import custom_vmap as _custom_vmap
-
-
-@_custom_vmap
-def linear_rollout_cv(kind, A, B, K, dU, defect, lx, lu, lxx, luu,
-                      phix, phixx, eps, last_node):
-    """Array-interface linear rollout: returns (dX, dV_1, dV_2)."""
-    lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
-                phix=phix, phixx=phixx)
-
-    class _P:
-        pass
-    p = _P()
-    p.kind = kind
-    p.T = kind.shape[0]
-
-    class _S:
-        pass
-    s = _S()
-    s.dU = dU
-    s.K = K
-    return _linear_rollout_impl(p, s, lq, defect, eps, last_node)
 
 
 def _linear_rollout_impl(prob, state, lq, defect, eps, last_node):
@@ -324,15 +283,17 @@ def _linear_rollout_impl(prob, state, lq, defect, eps, last_node):
     def step(carry, t):
         dx = carry
         kind = prob.kind[t]
-        du = eps * state.dU[t] + state.K[t] @ dx
-        dx_dyn = lq.A[t] @ dx + lq.B[t] @ du + eps * defect[t + 1]
-        dv1_dyn = lq.lx[t] @ dx + lq.lu[t] @ du
-        dv2_dyn = dx @ lq.lxx[t] @ dx + du @ lq.luu[t] @ du
+        du = eps * state.dU[t] + precise.mv(state.K[t], dx)
+        dx_dyn = (precise.mv(lq.A[t], dx) + precise.mv(lq.B[t], du)
+                  + eps * defect[t + 1])
+        dv1_dyn = jnp.sum(lq.lx[t] * dx) + jnp.sum(lq.lu[t] * du)
+        dv2_dyn = (precise.quad(dx, lq.lxx[t], dx)
+                   + precise.quad(du, lq.luu[t], du))
         if lq.lux is not None:
-            dv2_dyn = dv2_dyn + du @ lq.lux[t] @ dx
-        dv1_rst = lq.phix[t] @ dx
-        dv2_rst = dx @ lq.phixx[t] @ dx
-        dx_rst = lq.A[t] @ dx + eps * defect[t + 1]
+            dv2_dyn = dv2_dyn + precise.quad(du, lq.lux[t], dx)
+        dv1_rst = jnp.sum(lq.phix[t] * dx)
+        dv2_rst = precise.quad(dx, lq.phixx[t], dx)
+        dx_rst = precise.mv(lq.A[t], dx) + eps * defect[t + 1]
         is_dyn = (kind == DYN)
         is_rst = (kind == RESET)
         dx_next = jnp.where(is_dyn, dx_dyn, jnp.where(is_rst, dx_rst, dx))
@@ -343,36 +304,6 @@ def _linear_rollout_impl(prob, state, lq, defect, eps, last_node):
     _, (dX_rest, dv1s, dv2s) = lax.scan(step, dx0, jnp.arange(prob.T))
     dX = jnp.concatenate([dx0[None], dX_rest], axis=0)
     dx_term = dX[last_node]
-    dV_1 = jnp.sum(dv1s) + lq.phix[last_node] @ dx_term
-    dV_2 = jnp.sum(dv2s) + dx_term @ lq.phixx[last_node] @ dx_term
+    dV_1 = jnp.sum(dv1s) + jnp.sum(lq.phix[last_node] * dx_term)
+    dV_2 = jnp.sum(dv2s) + precise.quad(dx_term, lq.phixx[last_node], dx_term)
     return dX, dV_1, dV_2
-
-
-@linear_rollout_cv.def_vmap
-def _linear_rollout_batched(axis_size, in_batched, kind, A, B, K, dU, defect,
-                            lx, lu, lxx, luu, phix, phixx, eps, last_node):
-    from hkdmpc_tpu.ops.pallas_linear import linear_rollout_pallas
-
-    # kernel is 24-dim f32 TPU-specific (interpret mode covers cpu): other
-    # models/dtypes/backends fall back to the plainly-vmapped scan
-    backend = jax.default_backend()
-    if (A.shape[-2:] != (24, 24) or A.dtype != jnp.float32
-            or backend not in ("tpu", "cpu")):
-        def unbatched(*args):
-            return linear_rollout_cv.fun(*args)
-        in_axes = tuple(0 if b else None for b in in_batched)
-        out = jax.vmap(unbatched, in_axes=in_axes)(
-            kind, A, B, K, dU, defect, lx, lu, lxx, luu, phix, phixx, eps,
-            last_node)
-        return out, (True, True, True)
-
-    def bc(x, b):
-        return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-    arrs = (kind, A, B, K, dU, defect, lx, lu, lxx, luu, phix, phixx)
-    args = [bc(a, b) for a, b in zip(arrs, in_batched[:12])]
-    eps_v = eps if in_batched[12] else jnp.broadcast_to(eps, (axis_size,))
-    ln_v = bc(last_node, in_batched[13])
-    interpret = backend == "cpu"
-    out = linear_rollout_pallas(*args, eps_v, ln_v, interpret=interpret)
-    return out, (True, True, True)

@@ -34,18 +34,34 @@ def stage_tpu(n):
     x0 = perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0
     prob_b = dataclasses.replace(prob_b, x0=x0)
 
-    solve = jax.jit(jax.vmap(
-        ddp.solve, in_axes=(0, 0, None, None, None, None, None, None)),
-        static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                         "aug_sweep", "pallas_backward"))
+    import time
+
     out = {}
-    for name, use_pallas in (("scan", False), ("pallas", True)):
-        r = solve(prob_b, state_b, opt, True, None, False, True, use_pallas)
+    variants = (("scan", False, None), ("pallas", True, None),
+                ("pallas_hp", True, "highest"), ("scan_hp", False, "highest"))
+    for name, use_pallas, precision in variants:
+        def run():
+            if precision is None:
+                return ddp.solve_batch(prob_b, state_b, opt,
+                                       parallel_rollout=True,
+                                       pallas_backward=use_pallas)
+            with jax.default_matmul_precision(precision):
+                return jax.jit(lambda p, s: jax.vmap(
+                    lambda pp, ss: ddp.solve(pp, ss, opt, True,
+                                             pallas_backward=use_pallas))(
+                    p, s))(prob_b, state_b)
+        r = run()
+        jax.block_until_ready(r.cost)
+        t0 = time.perf_counter()
+        r = run()
+        jax.block_until_ready(r.cost)
+        dt = time.perf_counter() - t0
         out[name] = np.asarray(r.cost)
         out[name + "_failed"] = np.asarray(r.solve_failed)
         print(f"{name}: mean={out[name].mean():.4f} "
-              f"max={out[name].max():.4f} failed={out[name + '_failed'].sum()}",
-              flush=True)
+              f"max={out[name].max():.4f} "
+              f"failed={out[name + '_failed'].sum()} "
+              f"time={dt*1e3:.1f}ms", flush=True)
     np.savez(NPZ, x0=np.asarray(x0), **out)
     print(f"wrote {NPZ}")
 
@@ -69,15 +85,14 @@ def stage_cpu():
     prob_b, state_b = replicate_problem(prob, state, n)
     prob_b = dataclasses.replace(prob_b, x0=jnp.asarray(x0, jnp.float64))
 
-    solve = jax.jit(jax.vmap(
-        ddp.solve, in_axes=(0, 0, None, None)),
-        static_argnames=("opt", "parallel_rollout"))
-    r = solve(prob_b, state_b, opt, True)
+    r = ddp.solve_batch(prob_b, state_b, opt, parallel_rollout=True)
     oracle = np.asarray(r.cost)
     print(f"oracle(f64): mean={oracle.mean():.4f} max={oracle.max():.4f} "
           f"failed={int(np.asarray(r.solve_failed).sum())}")
 
-    for name in ("scan", "pallas"):
+    for name in ("scan", "pallas", "pallas_hp", "scan_hp"):
+        if name not in d:
+            continue
         c = d[name]
         rel = np.abs(c - oracle) / (np.abs(oracle) + 1e-9)
         worst = np.argsort(rel)[::-1][:5]

@@ -97,3 +97,34 @@ def test_native_transport_loopback():
     assert abs(out["mpctime"] - 1.25) < 1e-12
     np.testing.assert_allclose(out["contact"], [1, 0, 0, 1])
     tx.close()
+
+
+def test_native_transport_fragmented_loopback():
+    """A message larger than one datagram rides the LC03 fragment path
+    (csrc/hkdcomm.cpp handle_frag): reassembly keyed by (sender, seq) must
+    reproduce the payload byte-exactly."""
+    from hkdmpc_tpu.comm.transport import LCMTransport
+    try:
+        tx = LCMTransport("udpm://239.255.76.67:7668?ttl=0")
+    except Exception as e:  # no multicast in sandbox
+        pytest.skip(f"multicast unavailable: {e}")
+    payload = bytes(range(256)) * 120  # ~30 KB -> ~22 fragments
+    tx.subscribe("big")
+    tx.publish("big", payload)
+    got = tx.receive(timeout_ms=3000)
+    if got is None:
+        pytest.skip("multicast loopback unavailable in sandbox")
+    chan, buf = got
+    assert chan == "big"
+    assert bytes(buf) == payload
+
+    # interleave two fragmented messages on different sequence phases:
+    # delivery must keep them intact and ordered
+    p2 = b"\xAB" * 20000
+    tx.publish("big", payload)
+    tx.publish("big", p2)
+    a = tx.receive(timeout_ms=3000)
+    b = tx.receive(timeout_ms=3000)
+    assert a is not None and b is not None
+    assert bytes(a[1]) == payload and bytes(b[1]) == p2
+    tx.close()

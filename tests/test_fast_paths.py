@@ -196,79 +196,6 @@ def test_solve_pallas_backward_equivalent_under_vmap():
     assert not bool(jnp.any(res_b.solve_failed))
 
 
-def test_pallas_linear_rollout_matches_scan():
-    """The explicit-batch Pallas linear rollout (interpret mode on CPU)
-    reproduces the per-scenario scan, including per-lane eps and the terminal
-    value contribution at each lane's last active node."""
-    from hkdmpc_tpu.ops.pallas_linear import linear_rollout_pallas
-
-    pb, prob, state, opt = _solved_state()
-    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
-    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
-    last = ro_mod.last_active_node(prob)
-    dU, K, dv1, dv2, reg, ok, failed = backward.backward_sweep_regularized(
-        prob, lqd, ro.defect, 0.0, 4.0, last)
-    state = dataclasses.replace(state, dU=dU, K=K)
-
-    f32 = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
-    lq32 = jax.tree_util.tree_map(f32, lqd)
-    d32, dU32, K32 = f32(ro.defect), f32(dU), f32(K)
-
-    epss = jnp.asarray([1.0, 0.1, 0.01, 0.0], jnp.float32)
-    B = epss.shape[0]
-    tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
-    dX, dv1_k, dv2_k = linear_rollout_pallas(
-        tile(prob.kind), tile(lq32.A), tile(lq32.B), tile(K32), tile(dU32),
-        tile(d32), tile(lq32.lx), tile(lq32.lu), tile(lq32.lxx),
-        tile(lq32.luu), tile(lq32.phix), tile(lq32.phixx), epss,
-        jnp.full((B,), last, jnp.int32), interpret=True)
-
-    for i in range(B):
-        o = ro_mod.linear_rollout(prob, state, lqd, ro.defect,
-                                  jnp.float64(epss[i]))
-        state32 = dataclasses.replace(state, dU=dU32, K=K32)
-        s = ro_mod.linear_rollout(prob, state32, lq32, d32, epss[i])
-        for got, oracle, scan_f32, name in [
-                (dX[i], o[0], s[0], "dX"), (dv1_k[i], o[1], s[1], "dv1"),
-                (dv2_k[i], o[2], s[2], "dv2")]:
-            roundoff = float(jnp.max(jnp.abs(jnp.asarray(scan_f32, jnp.float64)
-                                             - oracle)))
-            np.testing.assert_allclose(
-                np.asarray(got, np.float64), np.asarray(oracle),
-                atol=4.0 * roundoff + 1e-6, rtol=0,
-                err_msg=f"{name} eps={float(epss[i])}")
-
-
-def test_solve_pallas_linear_equivalent_under_vmap():
-    """vmap(solve, pallas_linear=True) == vmap(solve) (f32, runtime caps);
-    exercises the custom_vmap dispatch end to end (interpret mode on CPU)."""
-    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
-
-    pb, x0, opt = make_trot()
-    prob, state = pb.build(x0)
-    f32 = lambda x: (jnp.asarray(x, jnp.float32)
-                     if isinstance(x, jnp.ndarray) and
-                     jnp.issubdtype(x.dtype, jnp.floating) else x)
-    prob = jax.tree_util.tree_map(f32, prob)
-    state = jax.tree_util.tree_map(f32, state)
-    opt = opt.runtime()
-    prob_b, state_b = replicate_problem(prob, state, 4)
-    prob_b = dataclasses.replace(
-        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(5)).x0)
-
-    res_a = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
-                            True, False)
-    res_b = ddp.solve_batch(prob_b, state_b, opt, True, None, False, True,
-                            True, True)
-    np.testing.assert_allclose(res_a.cost, res_b.cost, rtol=1e-4)
-    np.testing.assert_allclose(res_a.dyn_feas, res_b.dyn_feas,
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar,
-                               rtol=1e-3, atol=2e-3)
-    assert not bool(jnp.any(res_a.solve_failed))
-    assert not bool(jnp.any(res_b.solve_failed))
-
-
 def test_fused_mpc_step_matches_classic():
     """Device-resident fused MPC step (mpc/fused.py) == faithful
     unflatten->update->build->solve path, step for step over a closed-loop
@@ -318,3 +245,53 @@ def test_fused_mpc_step_matches_classic():
     for a, b in zip(classic.problem.phases, fused.problem.phases):
         np.testing.assert_allclose(b.Xbar, a.Xbar, rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(b.Ubar, a.Ubar, rtol=1e-9, atol=1e-10)
+
+
+def test_batched_solve_has_no_default_precision_matmuls():
+    """The whole batched solve must lower with ZERO dot_general ops: on TPU
+    every jnp matmul/einsum runs on the MXU as bf16 passes at default
+    precision, which measurably degrades final cost (exp_accuracy_oracle:
+    max rel deviation 2.5e-2 vs the f64 oracle before ops/precise.py, 5e-6
+    after). All small products must go through ops/precise.py (VPU f32)."""
+    pb, x0, opt = make_trot()
+    pb.dtype = jnp.float32
+    prob, state = pb.build(x0)
+    from hkdmpc_tpu.parallel import replicate_problem
+    prob_b, state_b = replicate_problem(prob, state, 2)
+    txt = jax.jit(lambda p, s: jax.vmap(
+        lambda pp, ss: ddp.solve(pp, ss, opt.runtime(), True,
+                                 pallas_backward=True))(p, s)
+    ).lower(prob_b, state_b).as_text()
+    assert txt.count("dot_general") == 0, (
+        f"{txt.count('dot_general')} dot_general ops crept into the batched "
+        "solve — route them through ops/precise.py")
+
+
+def test_f32_batch_final_cost_matches_f64_oracle():
+    """f32 batched solves (the TPU production numerics, minus the MXU) must
+    reproduce the f64 oracle's final costs to ~roundoff on a shared scenario
+    set that includes hard high-cost cases."""
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+
+    B = 16
+    pb0, x00, _ = make_trot()
+    prob0, state0 = pb0.build(x00)
+    prob_b0, _ = replicate_problem(prob0, state0, B)
+    x0_shared = np.asarray(perturb_scenarios(prob_b0,
+                                             jax.random.PRNGKey(0)).x0)
+
+    costs = {}
+    for name, dtype in (("f64", jnp.float64), ("f32", jnp.float32)):
+        pb, x0, opt = make_trot()
+        pb.dtype = dtype
+        prob, state = pb.build(x0)
+        prob_b, state_b = replicate_problem(prob, state, B)
+        prob_b = dataclasses.replace(
+            prob_b, x0=jnp.asarray(x0_shared, dtype))
+        r = ddp.solve_batch(prob_b, state_b, opt.runtime(),
+                            parallel_rollout=True)
+        assert not bool(jnp.any(r.solve_failed))
+        costs[name] = np.asarray(r.cost, np.float64)
+
+    rel = np.abs(costs["f32"] - costs["f64"]) / np.abs(costs["f64"])
+    assert rel.max() < 1e-4, rel

@@ -152,3 +152,68 @@ def test_command_contract():
     out = types["hkd_command_lcmt"].decode(buf)
     np.testing.assert_allclose(out["hkd_controls"],
                                d["hkd_controls"].astype(np.float32), rtol=1e-6)
+
+
+def test_mpc_through_trot_jump_trot():
+    """BASELINE config 4: the gaitLib trot->jump->trot sequence end-to-end
+    through the receding-horizon MPC loop (360 steps, 3.6 s), propagating the
+    solver's own one-step prediction — the same validation level as the
+    reference's kinematic PyBullet replay, with assertions.
+
+    The converted reference is kinematically inconsistent in flight (z held
+    at 0.36 through the 0.42 s aerial phase, v constant), so exact tracking
+    is impossible by construction; the test pins what a correct solver must
+    deliver: every re-solve healthy, a physically consistent flight arc
+    (launch above the reference apex, ballistic fall, landing recovery), and
+    bounded height tracking throughout."""
+    from hkdmpc_tpu.reference.refgen import from_post_csv, foot_ik
+    from hkdmpc_tpu.reference import QuadReference
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        full = from_post_csv(
+            "/root/reference/Reference/Data/gaitLib/trot_jump_trot",
+            os.path.join(td, "tjt.csv"))
+        q = QuadReference.from_file(full)
+        solver = HKDMPCSolver(full, REF_SETTINGS, REF_CPARAMS, MPCConfig())
+
+    x = solver.ref.hkd_state_table()[0].copy()
+    solver.initialize(x0=x)
+    assert float(solver.last_result.dyn_feas) < 1e-3
+
+    def measure(x, contact, t):
+        qJ = np.tile([0.0, -0.8, 1.6], 4)
+        qd = x[12:24].reshape(4, 3)
+        for leg in range(4):
+            qJ[3 * leg: 3 * leg + 3] = (
+                qd[leg] if contact[leg] == 0
+                else foot_ik(x[3:6], x[0:3], qd[leg], leg))
+        return dict(rpy=euler_to_measured_rpy(x[0:3]), p=x[3:6], v=x[9:12],
+                    omega=x[6:9], qJ=qJ, mpc_time=t)
+
+    zs, z_errs, contacts_seen = [], [], set()
+    n_steps = 360  # launch ~2.9 s, flight to 3.29 s, landing recovery
+    for step in range(n_steps):
+        contact = solver.problem.phases[0].contact
+        contacts_seen.add(tuple(contact))
+        solver.update(**measure(x, contact, step * 0.01))
+        assert not bool(solver.last_result.solve_failed), step
+        ph0 = solver.problem.phases[0]
+        x = (ph0.Xbar[1] if ph0.horizon >= 1
+             else solver.problem.phases[1].Xbar[0]).copy()
+        assert np.isfinite(x).all(), step
+        zs.append(x[5])
+        z_errs.append(abs(x[5] - q.body_state[min(step + 1, q.n - 1), 5]))
+
+    zs = np.asarray(zs)
+    # the long flight is executed as a real ballistic arc: apex above the
+    # reference's (kinematically inconsistent) constant 0.36
+    assert zs.max() > 0.45, zs.max()
+    # height tracking bounded through takeoff/flight/landing
+    assert np.max(z_errs) < 0.35, np.max(z_errs)
+    # upright and recovered after landing
+    assert 0.08 < zs[-1] < 0.45, zs[-1]
+    assert np.all(zs > 0.05) and np.all(zs < 0.9)
+    # the loop walked through flight and stance phases
+    assert (0, 0, 0, 0) in contacts_seen
+    assert (1, 1, 1, 1) in contacts_seen

@@ -1,6 +1,7 @@
 """Distribution tests: sharded batched solves must equal unsharded ones
 (SURVEY §4(d): single-chip vs multi-host equivalence), and the ICI metric
 aggregations must match host-side reductions."""
+import os
 import numpy as np
 import pytest
 import jax
@@ -53,3 +54,71 @@ def test_uneven_perturbations_solve_independently(batch_problem):
     res1 = ddp.solve_jit(one, one_state, opt)
     np.testing.assert_allclose(float(res1.cost), float(res.cost[3]),
                                rtol=1e-10)
+
+
+def test_two_process_dcn_matches_single_process(tmp_path):
+    """BASELINE config-5's N>=2-hosts axis: two jax.distributed CPU
+    processes (4 virtual devices each) solving the same globally-sharded
+    batch over one 8-device mesh must reproduce the single-process result.
+    Only collective scalars cross the coordination service (DCN stand-in)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    with socket.socket() as s:
+        try:
+            s.bind(("localhost", 0))
+        except OSError:
+            pytest.skip("no local port available")
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_dcn_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("DCN worker timed out")
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("DCN_RESULT ")]
+        assert line, out[-3000:]
+        r = json.loads(line[0][len("DCN_RESULT "):])
+        results[r["pid"]] = r
+
+    # replicated aggregates agree across processes
+    for key in ("mean_cost", "max_tconstr", "max_feas", "n_failed"):
+        assert abs(results[0][key] - results[1][key]) < 1e-9, key
+
+    # single-process oracle on the same (deterministic) batch
+    pb, x0, opt = make_trot(plan_duration=0.3)
+    prob, state = pb.build(x0)
+    prob_b, state_b = replicate_problem(prob, state, 8)
+    prob_b = perturb_scenarios(prob_b, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    _, agg = solve_sharded(prob_b, state_b, opt.runtime(), mesh)
+    assert abs(results[0]["mean_cost"] - float(agg["mean_cost"])) < 1e-8
+    assert abs(results[0]["max_feas"] - float(agg["max_feas"])) < 1e-8
+    assert results[0]["n_failed"] == int(agg["n_failed"])
+
+    # per-scenario shard sums: union across the two processes matches the
+    # single-process per-scenario costs
+    two_proc = np.sort(np.asarray(
+        results[0]["local_costs"] + results[1]["local_costs"]))
+    res_sp, _ = solve_sharded(prob_b, state_b, opt.runtime(), mesh)
+    per_dev = np.sort(np.asarray(
+        [float(s.data.sum()) for s in res_sp.cost.addressable_shards]))
+    np.testing.assert_allclose(two_proc, per_dev, rtol=1e-10)
