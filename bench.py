@@ -22,10 +22,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # default workload = the full BASELINE config-5 fleet (4096 perturbed
+    # MPC scenarios), chunked 1024/call: measured fastest (the 4 dispatches
+    # pipeline; single 4096-call is ~3% slower, and larger chunks fit HBM
+    # since the MXU-free rewrite — peak footprint ~3.6 GB per 1024).
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # per-call chunk: (B, T, 24, 24) HLO temps tile-pad 5.3x on TPU; 1024
-    # scenarios/call fits v5e HBM comfortably and already saturates the chip.
     chunk = min(batch, int(os.environ.get("BENCH_CHUNK", "1024")))
 
     import __graft_entry__ as ge
@@ -81,6 +83,34 @@ def main():
           f"{[round(t*1e3,1) for t in times]} mean_cost={mean_cost:.2f} "
           f"failed={n_failed} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
+
+    if os.environ.get("BENCH_SCALING"):
+        # batch-scaling curve: per-call batch sizes up to the HBM cap, then
+        # chunked fleets beyond it
+        for b in (128, 256, 512, 1024, 2048, 4096):
+            ch = min(b, chunk)
+            xs = [perturb_scenarios(
+                jax.tree_util.tree_map(lambda a: a[:ch], prob_b),
+                jax.random.PRNGKey(i)).x0 for i in range(b // ch)]
+            pb_c = jax.tree_util.tree_map(lambda a: a[:ch], prob_b)
+            sb_c = jax.tree_util.tree_map(lambda a: a[:ch], state_b)
+
+            def run_scale():
+                out = [ddp.solve_batch(dataclasses.replace(pb_c, x0=x),
+                                       sb_c, opt, parallel_rollout=True,
+                                       pallas_backward=use_pallas)
+                       for x in xs]
+                out[-1].cost.block_until_ready()
+                return out
+
+            run_scale()
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_scale()
+                ts.append(time.perf_counter() - t0)
+            print(f"# scaling batch={b} chunk={ch} best={min(ts)*1e3:.1f}ms "
+                  f"solves_per_s={b / min(ts):.1f}", file=sys.stderr)
 
     if os.environ.get("BENCH_LATENCY"):
         # single-scenario MPC re-solve latency (p50) — the reference's

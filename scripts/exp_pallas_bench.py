@@ -32,15 +32,13 @@ def main():
     x0 = perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0
     prob_b = dataclasses.replace(prob_b, x0=x0)
 
-    solve = jax.jit(
-        jax.vmap(ddp.solve, in_axes=(0, 0, None, None, None, None, None, None)),
-        static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                         "aug_sweep", "pallas_backward"))
+    solve = lambda p, s, o, pr, up: ddp.solve_batch(
+        p, s, o, parallel_rollout=pr, pallas_backward=up)
 
     results = {}
     for use_pallas in (False, True):
         t0 = time.perf_counter()
-        r = solve(prob_b, state_b, opt, True, None, False, True, use_pallas)
+        r = solve(prob_b, state_b, opt, True, use_pallas)
         r.cost.block_until_ready()
         compile_s = time.perf_counter() - t0
         times = []

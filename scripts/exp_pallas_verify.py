@@ -64,12 +64,10 @@ def main():
     prob_b = dataclasses.replace(
         prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
 
-    solve = jax.jit(
-        jax.vmap(ddp.solve, in_axes=(0, 0, None, None, None, None, None, None)),
-        static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                         "aug_sweep", "pallas_backward"))
-    r0 = solve(prob_b, state_b, opt_rt, True, None, False, True, False)
-    r1 = solve(prob_b, state_b, opt_rt, True, None, False, True, True)
+    r0 = ddp.solve_batch(prob_b, state_b, opt_rt, parallel_rollout=True,
+                         pallas_backward=False)
+    r1 = ddp.solve_batch(prob_b, state_b, opt_rt, parallel_rollout=True,
+                         pallas_backward=True)
     c0, c1 = np.asarray(r0.cost), np.asarray(r1.cost)
     rel = np.abs(c1 - c0) / (np.abs(c0) + 1e-9)
     q = np.percentile(rel, [50, 90, 99, 100])

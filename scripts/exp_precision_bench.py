@@ -37,20 +37,15 @@ def main():
 
     def bench(use_pallas, precision):
         with jax.default_matmul_precision(precision):
-            solve = jax.jit(jax.vmap(
-                ddp.solve,
-                in_axes=(0, 0, None, None, None, None, None, None)),
-                static_argnames=("opt", "parallel_rollout", "model",
-                                 "assoc_linear", "aug_sweep",
-                                 "pallas_backward"))
-            r = solve(prob_b, state_b, opt, True, None, False, True,
-                      use_pallas)
+            solve = jax.jit(lambda p, s: jax.vmap(
+                lambda pp, ss: ddp.solve(pp, ss, opt, True,
+                                         pallas_backward=use_pallas))(p, s))
+            r = solve(prob_b, state_b)
             r.cost.block_until_ready()
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                r = solve(prob_b, state_b, opt, True, None, False, True,
-                          use_pallas)
+                r = solve(prob_b, state_b)
                 r.cost.block_until_ready()
                 times.append(time.perf_counter() - t0)
         best = min(times)

@@ -1,0 +1,82 @@
+"""Roofline placement of the batched solve on the TPU.
+
+Uses the compiled executable's cost analysis (XLA's flop/byte counts) plus
+measured wall time to report achieved FLOP/s and HBM bandwidth against the
+chip's public peaks. The solve is deliberately MXU-free (ops/precise.py), so
+the relevant compute ceiling is the VPU's f32 throughput, not the 197 TFLOP/s
+bf16 MXU number.
+
+Usage: python scripts/exp_roofline.py [batch]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e public specs
+HBM_GBPS = 819.0
+MXU_BF16_TFLOPS = 197.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    from hkdmpc_tpu.solver import ddp
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
+    opt = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, batch)
+    prob_b, state_b = jax.device_put((prob_b, state_b))
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
+
+    fn = jax.jit(lambda p, s: jax.vmap(
+        lambda pp, ss: ddp.solve(pp, ss, opt, True, pallas_backward=True))(
+        p, s))
+    compiled = fn.lower(prob_b, state_b).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    out = compiled(prob_b, state_b)
+    jax.block_until_ready(out.cost)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = compiled(prob_b, state_b)
+        jax.block_until_ready(out.cost)
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+
+    mem = compiled.memory_analysis()
+    peak_hbm = getattr(mem, "temp_size_in_bytes", 0) + \
+        getattr(mem, "argument_size_in_bytes", 0) + \
+        getattr(mem, "output_size_in_bytes", 0)
+
+    print(f"batch={batch} wall={t*1e3:.1f} ms "
+          f"({batch / t:.0f} solves/s)")
+    print(f"XLA-counted flops          : {flops/1e12:.3f} TFLOP "
+          f"-> {flops/t/1e12:.2f} TFLOP/s achieved "
+          f"({100*flops/t/1e12/MXU_BF16_TFLOPS:.1f}% of bf16-MXU peak; "
+          f"program is deliberately MXU-free, VPU-bound)")
+    print(f"XLA-counted bytes accessed : {bytes_acc/1e9:.2f} GB "
+          f"-> {bytes_acc/t/1e9:.1f} GB/s "
+          f"({100*bytes_acc/t/1e9/HBM_GBPS:.1f}% of HBM peak)")
+    print(f"arithmetic intensity       : {flops/max(bytes_acc,1):.2f} FLOP/B "
+          f"(HBM roofline knee at ~{MXU_BF16_TFLOPS*1e12/HBM_GBPS/1e9:.0f})")
+    print(f"peak HBM footprint (XLA)   : {peak_hbm/1e9:.2f} GB of 16")
+
+
+if __name__ == "__main__":
+    main()

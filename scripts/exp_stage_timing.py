@@ -55,15 +55,13 @@ def main():
         prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
 
     # representative mid-solve state: take the real solve's output state
-    solve = jax.jit(jax.vmap(
-        ddp.solve, in_axes=(0, 0, None, None, None, None, None, None)),
-        static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                         "aug_sweep", "pallas_backward"))
-    res = solve(prob_b, state_b, opt, True, None, False, True, True)
+    solve = lambda: ddp.solve_batch(prob_b, state_b, opt,
+                                    parallel_rollout=True,
+                                    pallas_backward=True)
+    res = solve()
     st_b = res.state
     jax_block(st_b)
-    t_solve = timeit(lambda: solve(prob_b, state_b, opt, True, None, False,
-                                   True, True))
+    t_solve = timeit(solve)
     print(f"end-to-end solve           : {t_solve*1e3:7.1f} ms", flush=True)
 
     eps0 = jnp.zeros((), jnp.float32)
