@@ -56,6 +56,8 @@ class MPCService:
         (parity: MultiPhaseDDP.h:76-88 publish_trajectory — defined but never
         invoked in the reference; exposed here the same way, as an explicit
         call emitting solver_intermtraj_lcmt)."""
+        if hasattr(self.solver, "materialize"):
+            self.solver.materialize()  # fused path: refresh host arrays
         traj_t = load_reference_types(DEFAULT_LCMTYPES)["solver_intermtraj_lcmt"]
         # per-phase k in [0, horizon) only, no terminal node
         # (SinglePhase.cpp:504-517 get_trajectory)
@@ -73,6 +75,8 @@ class MPCService:
     def publish_debugfoot(self):
         """qdummy + contact sequence over the horizon (parity:
         HKDMPCSolver::publish_debugfoot, HKDMPC.cpp:300-322)."""
+        if hasattr(self.solver, "materialize"):
+            self.solver.materialize()  # fused path: refresh host arrays
         from hkdmpc_tpu.comm.lcm_types import load_reference_types
         opt_t = load_reference_types(DEFAULT_LCMTYPES)["opt_sol_lcmt"]
         qd, ct = [], []

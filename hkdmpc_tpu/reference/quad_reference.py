@@ -84,8 +84,36 @@ class QuadReference:
         return self
 
     @classmethod
-    def from_file(cls, fname: str) -> "QuadReference":
-        return cls().load_file(fname)
+    def from_file(cls, fname: str, reorder: bool = False) -> "QuadReference":
+        ref = cls().load_file(fname)
+        if reorder:
+            ref.reorder_states()
+        return ref
+
+    def reorder_states(self):
+        """MHPC-convention reorder (parity: QuadReference::reorder_states,
+        QuadReference.cpp:287-323): body [eul,pos,omega,vWorld] ->
+        [pos,eul,vWorld,omega] with z forced to 0.25; front/back leg pairs
+        swapped (FR<->FL, HR<->HL); qJd zeroed; hip/knee angle and torque
+        signs flipped."""
+        leg_perm = np.r_[3:6, 0:3, 9:12, 6:9]
+        b = self.body_state
+        self.body_state = np.concatenate(
+            [b[:, 3:6], b[:, 0:3], b[:, 9:12], b[:, 6:9]], axis=1)
+        self.body_state[:, 2] = 0.25
+        self.qJ = self.qJ[:, leg_perm].copy()
+        self.qJd = np.zeros_like(self.qJd)
+        self.foot_placements = self.foot_placements[:, leg_perm].copy()
+        self.grf = self.grf[:, leg_perm].copy()
+        self.torque = self.torque[:, leg_perm].copy()
+        self.contact = self.contact[:, [1, 0, 3, 2]].copy()
+        self.status_dur = self.status_dur[:, [1, 0, 3, 2]].copy()
+        hip_knee = np.r_[1:12:3, 2:12:3]
+        self.qJ[:, hip_knee] = -self.qJ[:, hip_knee]
+        self.torque[:, hip_knee] = -self.torque[:, hip_knee]
+        # invalidate cached dense tables
+        self._state_table = None
+        self._control_table = None
 
     # ---- windowing (parity with QuadReference.cpp:6-47) -------------------
 

@@ -144,3 +144,22 @@ def test_gaitlib_bounding_solves(tmp_path):
     res = ddp.solve_jit(prob, state, opt)
     assert not bool(res.solve_failed)
     assert float(res.dyn_feas) < 1e-2
+
+
+def test_stage_timer_profile_solve():
+    """TIME_PER_ITERATION analog (utils/timing.py): the stage-by-stage
+    profiled driver runs the same math and fills all four stage buckets
+    (HSDDP_Utils.h:11-19)."""
+    from hkdmpc_tpu.utils.timing import StageTimer, profile_solve
+
+    pb, x0, opt = make_trot(plan_duration=0.2)
+    prob, state = pb.build(x0)
+    timer = StageTimer()
+    out = profile_solve(prob, state, opt, timer, max_iters=2)
+    assert np.isfinite(np.asarray(out.Xbar)).all()
+    s = timer.summary()
+    assert s["iterations"] == 2
+    for k in ("time_partial_ms", "time_bws_ms", "time_fit_ms",
+              "time_rollout_ms"):
+        assert s[k] > 0.0, (k, s)
+    timer.print_summary()
