@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from hkdmpc_tpu.config import HSDDPOption
+from hkdmpc_tpu.ops import precise
 from hkdmpc_tpu.solver import backward, lq as lq_mod, rollout as ro_mod
 from hkdmpc_tpu.solver.structs import (ConstraintState, ProblemData,
                                        SolveResult, SolverState)
@@ -85,10 +86,10 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     last_node = ro_mod.last_active_node(prob)
 
     if parallel_rollout and ms:
-        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout_parallel(
-            prob, st, eps, model)
+        rollout_fn = lambda st, eps, du_eff=None: ro_mod.hybrid_rollout_parallel(
+            prob, st, eps, model, du_eff=du_eff)
     else:
-        rollout_fn = lambda st, eps: ro_mod.hybrid_rollout(
+        rollout_fn = lambda st, eps, du_eff=None: ro_mod.hybrid_rollout(
             prob, st, eps, ms, model)
 
     def cost_of(X, U, constr):
@@ -119,8 +120,14 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 
     # ---- line search (parallel over candidates) --------------------------
     def line_search(c, dv1, dv2, merit_rho, merit_prev, feas_prev):
+        # dX is fixed across trials: hoist dU + K dX out of the eps vmap
+        # (identical floats; K is read once per iteration, not per trial)
+        st_ls = c["state"]
+        du_eff = (st_ls.dU + precise.mv(st_ls.K, st_ls.dX[:-1])
+                  if (parallel_rollout and ms) else None)
+
         def trial(eps):
-            ro_t = rollout_fn(c["state"], eps)
+            ro_t = rollout_fn(c["state"], eps, du_eff)
             cost_t, (g_t, h_t) = cost_of(ro_t.X, ro_t.U, c["state"].constr)
             feas_t = ro_mod.dynamics_feasibility(prob, ro_t.defect)
             merit_t = cost_t + merit_rho * feas_t

@@ -323,12 +323,15 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
     spec.reset_tbatch = hkd_tminor.reset_tbatch
     if not swing_constraint:
         # the T-minor cost path hardcodes the default term/constraint set.
-        # NOTE: the T-minor *partials* variants exist (hkd_tminor.running/
-        # terminal_partials_tbatch) but measured slower end-to-end than the
-        # generic vmapped partials (401 vs 312 ms at batch 1024 on v5e) —
-        # their scatter-assembled outputs feed the backward scan in a worse
-        # layout — so they are not attached by default.
+        # The T-minor *partials* are the default since the MXU-free rewrite:
+        # they lost pre-ops/precise (401 vs 312 ms at batch 1024 on v5e,
+        # worse layout into the backward scan) but WIN now that the backward
+        # is the batch-in-lanes Pallas kernel (85.7 vs 111.6 ms end-to-end
+        # at batch 1024, scripts/exp_shares2.py) — the entrywise assembly
+        # fuses into the kernel's lane-major transposes.
         spec.compute_cost_tbatch = hkd_tminor.compute_cost_tbatch
+        spec.running_partials_tbatch = hkd_tminor.running_partials_tbatch
+        spec.terminal_partials_tbatch = hkd_tminor.terminal_partials_tbatch
     if not swing_constraint:
         _DEFAULT = spec
     return spec

@@ -114,7 +114,7 @@ def hybrid_rollout(prob: ProblemData, state: SolverState, eps,
 
 
 def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
-                            eps, model=None) -> Rollout:
+                            eps, model=None, du_eff=None) -> Rollout:
     """Scan-free hybrid rollout — valid when every active node is a shooting
     node (the default: update_SS_config makes all nodes shooting).
 
@@ -125,6 +125,11 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
     RESET transition is the simulated output of the preceding DYN
     transition). The horizon-sequential loop of the reference
     (SinglePhase.cpp:197-224) disappears entirely.
+
+    du_eff: optional precomputed dU + K @ dX[:-1] (T, us). dX is fixed for
+    every line-search trial, so the solver hoists this product out of the
+    per-epsilon vmap — identical floats, but the (T, us, xs) K tensor is
+    read once per iteration instead of once per trial.
     """
     model = model or _default_model()
     T = prob.T
@@ -132,8 +137,9 @@ def hybrid_rollout_parallel(prob: ProblemData, state: SolverState,
     eps = jnp.asarray(eps, dtype)
 
     X = state.Xbar + eps * state.dX                               # (T+1,24)
-    U = state.Ubar + eps * (state.dU
-                            + precise.mv(state.K, state.dX[:-1]))
+    if du_eff is None:
+        du_eff = state.dU + precise.mv(state.K, state.dX[:-1])
+    U = state.Ubar + eps * du_eff
 
     if getattr(model, "dynamics_tbatch", None) is not None:
         sim = model.dynamics_tbatch(X[:-1], U, prob.contact, prob.dt)
