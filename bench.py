@@ -5,9 +5,17 @@ runtime iteration caps (max_AL_iter=2, max_DDP_iter=1 — the reference's MPC
 hot path, HKDMPC.cpp:102-103), full 0.6 s / 60-step multi-phase horizon,
 float32 on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: reference target is >10k solves/s on a v5p-16 slice
-(BASELINE.md) = 1250 solves/s/chip; vs_baseline = value / 1250.
+Prints ONE JSON line covering BOTH baseline axes (BASELINE.md):
+  - throughput: {"metric", "value", "unit", "vs_baseline"} — reference
+    target is >10k solves/s on a v5p-16 slice = 1250 solves/s/chip;
+    vs_baseline = value / 1250.
+  - latency: {"latency_ms_p50", "latency_ms_p90", "latency_floor_ms_p50",
+    "latency_budget_ms"} — p50/p90 of the single-scenario fused MPC re-solve
+    step (mpc/fused.py) against the reference's 10 ms real-time budget
+    (HKDMPC.cpp:26-29). In this sandbox every dispatch crosses a ~30 ms
+    remote-TPU tunnel; latency_floor_ms_p50 (a trivial jit round trip)
+    makes the on-chip program time = latency - floor visible.
+Set BENCH_LATENCY=0 to skip the latency axis (it compiles a second program).
 """
 
 import json
@@ -78,6 +86,11 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1250.0, 3),
     }
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        try:
+            out.update(measure_latency(jax, jnp))
+        except Exception as e:  # keep the throughput axis on any failure
+            print(f"# latency axis failed: {e!r}", file=sys.stderr)
     print(json.dumps(out))
     print(f"# batch={batch} best={best*1e3:.1f}ms times_ms="
           f"{[round(t*1e3,1) for t in times]} mean_cost={mean_cost:.2f} "
@@ -112,40 +125,45 @@ def main():
             print(f"# scaling batch={b} chunk={ch} best={min(ts)*1e3:.1f}ms "
                   f"solves_per_s={b / min(ts):.1f}", file=sys.stderr)
 
-    if os.environ.get("BENCH_LATENCY"):
-        # single-scenario MPC re-solve latency (p50) — the reference's
-        # real-time budget is 10 ms per re-solve (HKDMPC.cpp:26-29).
-        # Measures the device-resident fused step (mpc/fused.py) and the
-        # bare dispatch floor (a trivial jit round trip) so the on-chip
-        # program time = fused - floor is visible through this sandbox's
-        # ~30 ms remote-TPU tunnel.
-        from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
-        dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
-        solver = HKDMPCSolver(
-            "/root/reference/Reference/Data/trot/quad_reference.csv",
-            "/root/reference/HKDMPC/settings/ddp_setting.info",
-            "/root/reference/HKDMPC/settings/constraint_params.info",
-            MPCConfig(fused_step=True), dtype=dtype)
-        solver.initialize()
-        meas = dict(rpy=np.zeros(3), p=np.array([0.0, 0.0, 0.25]),
-                    v=np.zeros(3), omega=np.zeros(3),
-                    qJ=np.tile([0.0, -0.8, 1.6], 4))
-        solver.update(mpc_time=0.0, **meas)  # compile
-        null = jax.jit(lambda x: x + 1)
+def measure_latency(jax, jnp) -> dict:
+    """Single-scenario MPC re-solve latency — the reference's real-time
+    budget is 10 ms per re-solve (HKDMPC.cpp:26-29). Measures the
+    device-resident fused step (mpc/fused.py) and the bare dispatch floor
+    (a trivial jit round trip) so the on-chip program time = fused - floor
+    is visible through this sandbox's ~30 ms remote-TPU tunnel."""
+    from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    solver = HKDMPCSolver(
+        "/root/reference/Reference/Data/trot/quad_reference.csv",
+        "/root/reference/HKDMPC/settings/ddp_setting.info",
+        "/root/reference/HKDMPC/settings/constraint_params.info",
+        MPCConfig(fused_step=True), dtype=dtype)
+    solver.initialize()
+    meas = dict(rpy=np.zeros(3), p=np.array([0.0, 0.0, 0.25]),
+                v=np.zeros(3), omega=np.zeros(3),
+                qJ=np.tile([0.0, -0.8, 1.6], 4))
+    solver.update(mpc_time=0.0, **meas)  # compile
+    null = jax.jit(lambda x: x + 1)
+    null(jnp.zeros(8, dtype)).block_until_ready()
+    lats, floors = [], []
+    for step in range(50):
+        t0 = time.perf_counter()
+        solver.update(mpc_time=(step + 1) * 0.01, **meas)
+        lats.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         null(jnp.zeros(8, dtype)).block_until_ready()
-        lats, floors = [], []
-        for step in range(50):
-            t0 = time.perf_counter()
-            solver.update(mpc_time=(step + 1) * 0.01, **meas)
-            lats.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            null(jnp.zeros(8, dtype)).block_until_ready()
-            floors.append(time.perf_counter() - t0)
-        lats.sort()
-        floors.sort()
-        print(f"# fused MPC step latency p50={lats[25]*1e3:.2f}ms "
-              f"p90={lats[45]*1e3:.2f}ms dispatch_floor_p50="
-              f"{floors[25]*1e3:.2f}ms", file=sys.stderr)
+        floors.append(time.perf_counter() - t0)
+    lats.sort()
+    floors.sort()
+    print(f"# fused MPC step latency p50={lats[25]*1e3:.2f}ms "
+          f"p90={lats[45]*1e3:.2f}ms dispatch_floor_p50="
+          f"{floors[25]*1e3:.2f}ms", file=sys.stderr)
+    return {
+        "latency_ms_p50": round(lats[25] * 1e3, 2),
+        "latency_ms_p90": round(lats[45] * 1e3, 2),
+        "latency_floor_ms_p50": round(floors[25] * 1e3, 2),
+        "latency_budget_ms": 10.0,
+    }
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@
 // reference delegates to liblcm + pthreads.
 
 #include <arpa/inet.h>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <condition_variable>
@@ -159,6 +160,13 @@ class UdpmTransport {
 
     bool bind_ok() const { return bind_ok_; }
 
+    uint64_t queue_drops() const {
+        return queue_drops_.load(std::memory_order_relaxed);
+    }
+    uint64_t frag_evictions() const {
+        return frag_evictions_.load(std::memory_order_relaxed);
+    }
+
   private:
     void rx_loop() {
         std::vector<uint8_t> buf(65536);
@@ -218,18 +226,30 @@ class UdpmTransport {
             deliver(fb.channel.c_str(), fb.data.data(), fb.data.size());
             frags_.erase(key);
         }
-        // bound stale partial reassemblies (dropped fragments)
-        if (frags_.size() > 64) frags_.erase(frags_.begin());
+        // bound stale partial reassemblies (dropped fragments) — counted:
+        // a silent eviction here means an in-flight message was lost
+        if (frags_.size() > 64) {
+            frags_.erase(frags_.begin());
+            frag_evictions_.fetch_add(1, std::memory_order_relaxed);
+        }
     }
 
     void deliver(const char *chan, const uint8_t *data, size_t len) {
         std::lock_guard<std::mutex> lk(mu_);
         if (!subs_.empty() && subs_.find(chan) == subs_.end()) return;
         queue_.push_back({chan, {data, data + len}});
-        if (queue_.size() > 256) queue_.pop_front();
+        // overflow drops the OLDEST queued message — counted so a flooded
+        // robot loop is diagnosable (the reference's liblcm surfaces drops
+        // only in debug builds; we always count)
+        if (queue_.size() > 256) {
+            queue_.pop_front();
+            queue_drops_.fetch_add(1, std::memory_order_relaxed);
+        }
         cv_.notify_all();
     }
 
+    std::atomic<uint64_t> queue_drops_{0};
+    std::atomic<uint64_t> frag_evictions_{0};
     int send_fd_ = -1, recv_fd_ = -1;
     sockaddr_in dest_{};
     bool bind_ok_ = false;
@@ -269,5 +289,12 @@ int hkdcomm_receive(void *h, char *chan_out, int chan_cap, uint8_t *data_out,
 }
 
 int hkdcomm_bind_ok(void *h) { return ((UdpmTransport *)h)->bind_ok() ? 1 : 0; }
+
+// drop observability: out[0] = queued messages dropped (queue overflow),
+// out[1] = partial fragment reassemblies evicted (lost in-flight messages)
+void hkdcomm_stats(void *h, unsigned long long out[2]) {
+    out[0] = ((UdpmTransport *)h)->queue_drops();
+    out[1] = ((UdpmTransport *)h)->frag_evictions();
+}
 
 }  // extern "C"

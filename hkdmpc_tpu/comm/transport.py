@@ -49,6 +49,9 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int]
         _lib.hkdcomm_bind_ok.restype = ctypes.c_int
         _lib.hkdcomm_bind_ok.argtypes = [ctypes.c_void_p]
+        _lib.hkdcomm_stats.restype = None
+        _lib.hkdcomm_stats.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_ulonglong)]
     return _lib
 
 
@@ -81,6 +84,14 @@ class LCMTransport:
         if n < 0:
             return None
         return chan.value.decode(), data.raw[:n]
+
+    def stats(self) -> dict:
+        """Drop observability counters from the native transport: messages
+        silently dropped on receive-queue overflow and partial fragment
+        reassemblies evicted (lost in-flight fragmented messages)."""
+        out = (ctypes.c_ulonglong * 2)()
+        self._lib.hkdcomm_stats(self._h, out)
+        return {"queue_drops": int(out[0]), "frag_evictions": int(out[1])}
 
     def close(self):
         if self._h:

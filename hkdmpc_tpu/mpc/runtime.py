@@ -113,6 +113,77 @@ class MPCService:
             self.handle(self.data_t.decode(buf))
             n += 1
 
+    def run_async(self, max_messages=None, duration_s=None):
+        """Overlapped service loop (fused solver required): the solve runs on
+        device while this loop keeps draining the socket, so a 100 Hz+
+        request stream never backs up into the transport's drop path.
+
+        The reference overlaps solving with LCM handling via a detached
+        thread per message serialized by a mutex (HKDMPC.cpp:168-200) — a
+        flood piles up threads that each eventually solve a stale request.
+        Here the policy is newest-wins with full accounting: while a solve
+        is in flight, newer requests supersede the waiting one (counted in
+        `stats["superseded"]`), and the next dispatch always uses the
+        freshest measurements — bounded staleness of one solve latency.
+
+        Stops after `max_messages` received or `duration_s` elapsed (either
+        may be None). Fills self.stats, incl. the native transport's drop
+        counters when available."""
+        import time as _time
+
+        assert self.solver.cfg.fused_step, "run_async requires fused_step"
+        n_recv = n_solved = n_superseded = n_reset = 0
+        pending_msg = None
+        busy = False
+        deadline = (None if duration_s is None
+                    else _time.perf_counter() + duration_s)
+        while True:
+            if max_messages is not None and n_recv >= max_messages \
+                    and pending_msg is None and not busy:
+                break
+            if deadline is not None and _time.perf_counter() > deadline:
+                break
+            # short poll while work is in flight; longer when idle
+            got = self.tx.receive(timeout_ms=1 if (busy or pending_msg)
+                                  else 20)
+            if got is not None and got[0] == "mpc_data" and (
+                    max_messages is None or n_recv < max_messages):
+                n_recv += 1
+                if pending_msg is not None:
+                    n_superseded += 1
+                pending_msg = self.data_t.decode(got[1])
+            if busy and self.solver.fused_ready():
+                cmd = self.solver.update_fused_complete()
+                self.publish_command(cmd)
+                self.publish_solver_info()
+                busy = False
+                n_solved += 1
+            if not busy and pending_msg is not None:
+                msg = pending_msg
+                pending_msg = None
+                if msg["reset_mpc"]:
+                    self.handle(msg)  # cold re-init stays synchronous
+                    n_reset += 1
+                else:
+                    self.solver.update_async(
+                        rpy=np.asarray(msg["rpy"]), p=np.asarray(msg["p"]),
+                        v=np.asarray(msg["vWorld"]),
+                        omega=np.asarray(msg["omegaBody"]),
+                        qJ=np.asarray(msg["qJ"]),
+                        mpc_time=float(msg["mpctime"]))
+                    busy = True
+        if busy:  # drain the in-flight solve
+            cmd = self.solver.update_fused_complete()
+            self.publish_command(cmd)
+            self.publish_solver_info()
+            n_solved += 1
+        self.stats = {"received": n_recv, "solved": n_solved,
+                      "superseded": n_superseded, "resets": n_reset,
+                      "unserved": 0 if pending_msg is None else 1}
+        if hasattr(self.tx, "stats"):
+            self.stats.update(self.tx.stats())
+        return self.stats
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -95,6 +95,7 @@ class HKDMPCSolver:
         self.solve_time = 0.0
         self.pf = np.zeros((4, 3))
         self.last_result = None
+        self._pending = None  # in-flight fused dispatch (async service)
 
     # ------------------------------------------------------------------
 
@@ -144,6 +145,30 @@ class HKDMPCSolver:
             self._host_stale = False
         return self.make_command()
 
+    def resume(self, ckpt_path: str) -> MPCCommand:
+        """Warm restart from a checkpoint written by
+        utils.checkpoint.save_problem: restores the phase structure, warm
+        starts, AL/ReB multipliers and reference window, then re-arms the
+        fused device-resident path (uids survive the round trip, so the
+        shift-descriptor gathers stay valid). No solve is performed — the
+        next update() continues exactly where the saved service left off."""
+        from hkdmpc_tpu.utils.checkpoint import load_problem
+
+        load_problem(ckpt_path, self.problem)
+        self.mpc_iter = 0
+        self.solve_time = 0.0
+        self.update_foot_placement()
+        if self.cfg.fused_step:
+            from hkdmpc_tpu.mpc import fused
+            # rebuild the device-resident SolverState from the restored host
+            # warm-start arrays (the x0 argument only affects ProblemData)
+            _, state = self.problem.build(np.zeros(24))
+            self._tables = fused.make_tables(self.problem, self.dtype)
+            self._state_dev = state
+            self._offsets = self.problem.flat_offsets()
+            self._host_stale = False
+        return self.make_command()
+
     def update(self, rpy, p, v, omega, qJ, mpc_time: float = 0.0) -> MPCCommand:
         """One MPC re-solve from measured robot state (HKDMPC.cpp:96-166)."""
         self.mpc_iter += 1
@@ -169,10 +194,26 @@ class HKDMPCSolver:
     # ------------------------------------------------------------------
 
     def _update_fused(self, rpy, p, v, omega, qJ) -> MPCCommand:
-        import types
+        self.update_fused_dispatch(rpy, p, v, omega, qJ)
+        return self.update_fused_complete()
 
-        import jax
+    def update_async(self, rpy, p, v, omega, qJ,
+                     mpc_time: float = 0.0) -> None:
+        """Non-blocking MPC update (fused path only): dispatches the solve
+        and returns immediately. Poll fused_ready(), then call
+        update_fused_complete() for the command."""
+        assert self.cfg.fused_step, "update_async requires fused_step=True"
+        self.mpc_iter += 1
+        self.mpc_time = mpc_time
+        self.update_fused_dispatch(rpy, p, v, omega, qJ)
 
+    def update_fused_dispatch(self, rpy, p, v, omega, qJ) -> None:
+        """Async half 1: run the host-side bookkeeping and dispatch the fused
+        device program WITHOUT blocking on its result. The service loop can
+        keep draining the socket while the solve runs (the reference overlaps
+        LCM handling with solving via a detached thread + mutex,
+        HKDMPC.cpp:168-200; here the overlap comes from XLA's async dispatch).
+        Follow with fused_ready()/update_fused_complete()."""
         from hkdmpc_tpu.mpc import fused
 
         pb = self.problem
@@ -237,9 +278,31 @@ class HKDMPCSolver:
         self._state_dev, bundle = fused.fused_step(
             self._tables, self._state_dev, ints, floats,
             self.opt.runtime(), pb.all_shooting(), n)
-        out = fused.unpack_bundle(jax.device_get(bundle), n)
-        self.solve_time = (time.perf_counter() - t0) * 1e3
         self._host_stale = True
+        self._pending = dict(bundle=bundle, n=n, t0=t0, times=times,
+                             contacts=contacts, status=status, found=found)
+
+    def fused_ready(self) -> bool:
+        """True when the dispatched fused step's result is available (the
+        completion fetch will not block)."""
+        return self._pending is not None and self._pending["bundle"].is_ready()
+
+    def update_fused_complete(self) -> MPCCommand:
+        """Async half 2: fetch the bundle (blocks if not ready) and build
+        the MPCCommand."""
+        import types
+
+        import jax
+
+        from hkdmpc_tpu.mpc import fused
+
+        pend = self._pending
+        self._pending = None
+        n, times, contacts, status, found = (
+            pend["n"], pend["times"], pend["contacts"], pend["status"],
+            pend["found"])
+        out = fused.unpack_bundle(jax.device_get(pend["bundle"]), n)
+        self.solve_time = (time.perf_counter() - pend["t0"]) * 1e3
 
         cost, feas, maxt, maxp, n_iters, failed = out["scalars"]
         self.last_result = types.SimpleNamespace(

@@ -10,14 +10,19 @@ accumulations follow vectorized once dX is known.
 
 This trades ~T/log T more FLOPs (matmul-matmul instead of matmul-vector)
 for parallel depth — a win whenever the sequential scan is latency-bound.
+
+All products go through ops/precise (VPU f32): the repo's no-MXU policy
+(DESIGN.md §3c) applies here too — the log-depth composition squares the
+condition of each link, so bf16 MXU rounding would compound worse than in
+the sequential scan it replaces.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
+from hkdmpc_tpu.ops import precise
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET, LQData
 
 
@@ -28,10 +33,10 @@ def affine_prefix(M, b, dx0):
     def combine(e1, e2):
         M1, b1 = e1
         M2, b2 = e2
-        return M2 @ M1, jnp.einsum("...ij,...j->...i", M2, b1) + b2
+        return precise.mm(M2, M1), precise.mv(M2, b1) + b2
 
     # fold dx0 into the first element's offset so prefixes give dx directly
-    b0 = b.at[0].add(M[0] @ dx0)
+    b0 = b.at[0].add(precise.mv(M[0], dx0))
     Mp, bp = lax.associative_scan(combine, (M, b0))
     # prefix t gives dx_{t+1} = (prod M) dx0'... with dx0 folded in, bp IS dx
     return jnp.concatenate([dx0[None], bp], axis=0)
@@ -48,10 +53,9 @@ def linear_rollout_assoc(prob, state, lq: LQData, defect, eps):
     is_rst = (prob.kind == RESET)[:, None, None]
     eye = jnp.broadcast_to(jnp.eye(24, dtype=dtype), (T, 24, 24))
 
-    BK = jnp.einsum("tij,tjk->tik", lq.B, state.K)
+    BK = precise.mm(lq.B, state.K)
     M = jnp.where(is_dyn, lq.A + BK, jnp.where(is_rst, lq.A, eye))
-    b_dyn = (jnp.einsum("tij,tj->ti", lq.B, eps * state.dU)
-             + eps * defect[1:])
+    b_dyn = precise.mv(lq.B, eps * state.dU) + eps * defect[1:]
     b = jnp.where(is_dyn[:, :, 0], b_dyn,
                   jnp.where(is_rst[:, :, 0], eps * defect[1:], 0.0))
 
@@ -59,26 +63,23 @@ def linear_rollout_assoc(prob, state, lq: LQData, defect, eps):
     dX = affine_prefix(M, b, dx0)
 
     # expected cost change, vectorized (matches rollout.linear_rollout)
-    du = eps * state.dU + jnp.einsum("tij,tj->ti", state.K, dX[:-1])
+    du = eps * state.dU + precise.mv(state.K, dX[:-1])
     dyn_m = (prob.kind == DYN).astype(dtype)
     rst_m = (prob.kind == RESET).astype(dtype)
     dxs = dX[:-1]
-    dv1 = jnp.sum(dyn_m * (jnp.einsum("ti,ti->t", lq.lx, dxs)
-                           + jnp.einsum("ti,ti->t", lq.lu, du)))
-    dv2 = jnp.sum(dyn_m * (
-        jnp.einsum("ti,tij,tj->t", dxs, lq.lxx, dxs)
-        + jnp.einsum("ti,tij,tj->t", du, lq.luu, du)))
+    dv1 = jnp.sum(dyn_m * (jnp.sum(lq.lx * dxs, axis=-1)
+                           + jnp.sum(lq.lu * du, axis=-1)))
+    dv2 = jnp.sum(dyn_m * (precise.quad(dxs, lq.lxx, dxs)
+                           + precise.quad(du, lq.luu, du)))
     if lq.lux is not None:
-        dv2 = dv2 + jnp.sum(dyn_m * jnp.einsum("ti,tij,tj->t", du, lq.lux,
-                                               dxs))
+        dv2 = dv2 + jnp.sum(dyn_m * precise.quad(du, lq.lux, dxs))
     # terminal contributions at reset source nodes
-    dv1 = dv1 + jnp.sum(rst_m * jnp.einsum("ti,ti->t", lq.phix[:-1], dxs))
-    dv2 = dv2 + jnp.sum(rst_m * jnp.einsum("ti,tij,tj->t", dxs,
-                                           lq.phixx[:-1], dxs))
+    dv1 = dv1 + jnp.sum(rst_m * jnp.sum(lq.phix[:-1] * dxs, axis=-1))
+    dv2 = dv2 + jnp.sum(rst_m * precise.quad(dxs, lq.phixx[:-1], dxs))
     # final node
     from hkdmpc_tpu.solver.rollout import last_active_node
     last = last_active_node(prob)
     dxl = dX[last]
-    dv1 = dv1 + lq.phix[last] @ dxl
-    dv2 = dv2 + dxl @ lq.phixx[last] @ dxl
+    dv1 = dv1 + jnp.sum(lq.phix[last] * dxl)
+    dv2 = dv2 + precise.quad(dxl, lq.phixx[last], dxl)
     return dX, dv1, dv2

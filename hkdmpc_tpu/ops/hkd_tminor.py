@@ -14,12 +14,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from hkdmpc_tpu.models import mini_cheetah as mc
+from hkdmpc_tpu.models import hkd_weights as W
 
 # python-float constant views (numpy scalars would promote f32 arrays to f64)
 _IINV = [float(v) for v in mc.INERTIA_INV_DIAG]
 _IDIAG = [float(v) for v in mc.INERTIA_DIAG]
 _HIP = [[float(v) for v in row] for row in mc.HIP_OFFSETS]
 _QDEF = [float(v) for v in mc.QLEG_DEFAULT]
+# cost weights: single definition site is models/hkd_weights (HKDCost.h:11-37)
+_Q_BODY = [float(v) for v in W.Q_BODY]
+_QF_SCALE_BODY = [float(v) for v in W.QF_SCALE_BODY]
+_WFOOT = [float(v) for v in W.FOOTREG_W]          # (60, 20, 0) per axis
+_QF_LEG = float(W.QF_MULT * W.QF_SCALE_LEG * W.Q_SWING_LEG)  # 0.04
+_TFOOT = float(W.FOOTREG_TERM_FACTOR)             # terminal footreg, no 1/2
+_MU = float(W.MU_FRICTION)
 from hkdmpc_tpu.ops.jac_tminor import _leg_fk_entries, _rot_entries
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET
 
@@ -123,9 +131,6 @@ def reset_tbatch(Xsrc, c_cur, c_next):
 # cost evaluation (HKD default model terms), all transitions/nodes at once
 # ---------------------------------------------------------------------------
 
-_MU = 0.7
-
-
 def grf_rows_tbatch(U, contact):
     """(g (T,20), mask (T,20)) friction-cone rows, entrywise."""
     gs, ms = [], []
@@ -142,21 +147,20 @@ def _track_cost_entries(Xn, Un, contact, xr, ur):
     """Running tracking cost per transition (T,)."""
     dx2 = (Xn - xr) ** 2
     du2 = (Un - ur) ** 2
-    q_body = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
-    l = sum(q_body[i] * dx2[:, i] for i in range(12))
+    l = sum(_Q_BODY[i] * dx2[:, i] for i in range(12))
     for leg in range(4):
-        wleg = 0.2 * (1.0 - contact[:, leg])
+        wleg = W.Q_SWING_LEG * (1.0 - contact[:, leg])
         l = l + wleg * (dx2[:, 12 + 3 * leg] + dx2[:, 13 + 3 * leg]
                         + dx2[:, 14 + 3 * leg])
-    l = l + 0.2 * sum(du2[:, i] for i in range(12))
-    l = l + 0.1 * sum(du2[:, i] for i in range(12, 24))
+    l = l + W.R_GRF * sum(du2[:, i] for i in range(12))
+    l = l + W.R_QJD * sum(du2[:, i] for i in range(12, 24))
     return 0.5 * l
 
 
 def _footreg_cost_entries(Xn, contact, xr, foot_r):
     out = 0.0
     for leg in range(4):
-        w = [60.0 * contact[:, leg], 20.0 * contact[:, leg], 0.0]
+        w = [_WFOOT[0] * contact[:, leg], _WFOOT[1] * contact[:, leg], 0.0]
         for j in range(2):
             d = ((Xn[:, 12 + 3 * leg + j] - Xn[:, 3 + j])
                  - (foot_r[:, 3 * leg + j] - xr[:, 3 + j]))
@@ -164,26 +168,22 @@ def _footreg_cost_entries(Xn, contact, xr, foot_r):
     return out
 
 
-_QF_SCALE_BODY = [1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1]
-
-
 def _terminal_cost_entries(Xn, term_contact, xr, foot_r):
     dx2 = (Xn - xr) ** 2
-    q_body = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
-    phi = sum(20.0 * _QF_SCALE_BODY[i] * q_body[i] * dx2[:, i]
+    phi = sum(W.QF_MULT * _QF_SCALE_BODY[i] * _Q_BODY[i] * dx2[:, i]
               for i in range(12))
     for leg in range(4):
-        wleg = 20.0 * 0.01 * 0.2 * (1.0 - term_contact[:, leg])
+        wleg = _QF_LEG * (1.0 - term_contact[:, leg])
         phi = phi + wleg * (dx2[:, 12 + 3 * leg] + dx2[:, 13 + 3 * leg]
                             + dx2[:, 14 + 3 * leg])
     phi = 0.5 * phi
     # terminal foot reg (factor 10, no 1/2 — HKDCost.cpp:40-50)
     for leg in range(4):
-        w = [60.0 * term_contact[:, leg], 20.0 * term_contact[:, leg]]
+        w = [_WFOOT[0] * term_contact[:, leg], _WFOOT[1] * term_contact[:, leg]]
         for j in range(2):
             d = ((Xn[:, 12 + 3 * leg + j] - Xn[:, 3 + j])
                  - (foot_r[:, 3 * leg + j] - xr[:, 3 + j]))
-            phi = phi + 10.0 * w[j] * d * d
+            phi = phi + _TFOOT * w[j] * d * d
     return phi
 
 
@@ -207,9 +207,6 @@ def _assemble_vec(entries: dict, T, dtype, n=24):
 def _assemble_mat(entries: dict, T, dtype, n=24):
     from hkdmpc_tpu.ops.jac_tminor import _assemble
     return _assemble(entries, T, dtype, n)
-
-
-_Q_BODY = [1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5]
 
 
 def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
@@ -238,7 +235,7 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
         acc(lx, i, mdt * _Q_BODY[i] * (Xn[:, i] - xr[:, i]))
         acc(lxx, (i, i), mdt * _Q_BODY[i])
     for l in range(4):
-        w = 0.2 * (1.0 - c[l])
+        w = W.Q_SWING_LEG * (1.0 - c[l])
         for j in range(3):
             i = 12 + 3 * l + j
             acc(lx, i, mdt * w * (Xn[:, i] - xr[:, i]))
@@ -246,7 +243,7 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
 
     # foot-placement regularization (weights 20*(3c, c, 0) per leg)
     for l in range(4):
-        Wl = [60.0 * c[l], 20.0 * c[l]]
+        Wl = [_WFOOT[0] * c[l], _WFOOT[1] * c[l]]
         for j in range(2):
             i = 12 + 3 * l + j
             d = (Xn[:, i] - Xn[:, 3 + j]) - (prob.foot_r[:-1, 3 * l + j]
@@ -260,11 +257,11 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
 
     # control tracking
     for i in range(12):
-        acc(lu, i, mdt * 0.2 * (U[:, i] - ur[:, i]))
-        acc(luu, (i, i), mdt * 0.2)
+        acc(lu, i, mdt * W.R_GRF * (U[:, i] - ur[:, i]))
+        acc(luu, (i, i), mdt * W.R_GRF)
     for i in range(12, 24):
-        acc(lu, i, mdt * 0.1 * (U[:, i] - ur[:, i]))
-        acc(luu, (i, i), mdt * 0.1)
+        acc(lu, i, mdt * W.R_QJD * (U[:, i] - ur[:, i]))
+        acc(luu, (i, i), mdt * W.R_QJD)
 
     if reb_active:
         g, row_mask = grf_rows_tbatch(U, prob.contact)
@@ -312,29 +309,30 @@ def terminal_partials_tbatch(prob, X, constr, al_active: bool):
         d[k] = d.get(k, 0.0) + v
 
     for i in range(12):
-        qf = 20.0 * _QF_SCALE_BODY[i] * _Q_BODY[i]
+        qf = W.QF_MULT * _QF_SCALE_BODY[i] * _Q_BODY[i]
         acc(phix, i, tm * qf * (X[:, i] - xr[:, i]))
         acc(phixx, (i, i), tm * qf)
     for l in range(4):
-        w = 0.04 * (1.0 - tc[l])
+        w = _QF_LEG * (1.0 - tc[l])
         for j in range(3):
             i = 12 + 3 * l + j
             acc(phix, i, tm * w * (X[:, i] - xr[:, i]))
             acc(phixx, (i, i), tm * w)
 
-    # terminal foot reg: grad 20*J'Wd, hess 20*J'WJ, W = 20*(3c, c, 0)
+    # terminal foot reg: grad 2*10*J'Wd, hess 2*10*J'WJ (factor-10, no 1/2)
+    tf2 = 2.0 * _TFOOT
     for l in range(4):
-        Wl = [60.0 * tc[l], 20.0 * tc[l]]
+        Wl = [_WFOOT[0] * tc[l], _WFOOT[1] * tc[l]]
         for j in range(2):
             i = 12 + 3 * l + j
             d = (X[:, i] - X[:, 3 + j]) - (prob.foot_r[:, 3 * l + j]
                                            - xr[:, 3 + j])
-            acc(phix, i, tm * 20.0 * Wl[j] * d)
-            acc(phix, 3 + j, -tm * 20.0 * Wl[j] * d)
-            acc(phixx, (i, i), tm * 20.0 * Wl[j])
-            acc(phixx, (3 + j, 3 + j), tm * 20.0 * Wl[j])
-            acc(phixx, (i, 3 + j), -tm * 20.0 * Wl[j])
-            acc(phixx, (3 + j, i), -tm * 20.0 * Wl[j])
+            acc(phix, i, tm * tf2 * Wl[j] * d)
+            acc(phix, 3 + j, -tm * tf2 * Wl[j] * d)
+            acc(phixx, (i, i), tm * tf2 * Wl[j])
+            acc(phixx, (3 + j, 3 + j), tm * tf2 * Wl[j])
+            acc(phixx, (i, 3 + j), -tm * tf2 * Wl[j])
+            acc(phixx, (3 + j, i), -tm * tf2 * Wl[j])
 
     if al_active:
         p = _body_pieces(X)

@@ -17,31 +17,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from hkdmpc_tpu.models import hkd
+from hkdmpc_tpu.models import hkd_weights as W
 
-MU_FRICTION = 0.7  # reference: HKDConstraints.h:17
+MU_FRICTION = W.MU_FRICTION  # reference: HKDConstraints.h:17
 
 
 # --------------------------------------------------------------------------
-# Tracking cost (reference: HKDCost.h:7-38)
+# Tracking cost (reference: HKDCost.h:7-38); weights from models/hkd_weights
 # --------------------------------------------------------------------------
 
 def q_diag(contact, dtype):
     """Running-state weight diagonal; qJ rows active only for swing legs."""
-    q_body = jnp.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5], dtype=dtype)
-    q_leg = 0.2 * (1.0 - contact)                     # (4,)
+    q_body = jnp.array(W.Q_BODY, dtype=dtype)
+    q_leg = W.Q_SWING_LEG * (1.0 - contact)           # (4,)
     q_qJ = jnp.repeat(q_leg, 3)
     return jnp.concatenate([q_body, q_qJ])
 
 
-_QF_SCALE = np.array([1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1] + [.01] * 12)
+_QF_SCALE = np.array(list(W.QF_SCALE_BODY) + [W.QF_SCALE_LEG] * 12)
 
 
 def qf_diag(contact, dtype):
-    return 20.0 * jnp.asarray(_QF_SCALE, dtype=dtype) * q_diag(contact, dtype)
+    return (W.QF_MULT * jnp.asarray(_QF_SCALE, dtype=dtype)
+            * q_diag(contact, dtype))
 
 
 def r_diag(dtype):
-    return jnp.concatenate([0.2 * jnp.ones(12, dtype), 0.1 * jnp.ones(12, dtype)])
+    return jnp.concatenate([W.R_GRF * jnp.ones(12, dtype),
+                            W.R_QJD * jnp.ones(12, dtype)])
 
 
 # --------------------------------------------------------------------------
@@ -50,8 +53,9 @@ def r_diag(dtype):
 
 def _footreg_terms(x, contact, xr, foot_r, dtype):
     """Returns (d_prel (12,), qfoot_diag (12,), dprel_dx (12,24))."""
-    qfoot = 20.0 * jnp.stack(
-        [3.0 * contact, contact, jnp.zeros_like(contact)], axis=1).reshape(12)
+    qfoot = W.FOOTREG_MULT * jnp.stack(
+        [W.FOOTREG_AXIS[0] * contact, W.FOOTREG_AXIS[1] * contact,
+         jnp.zeros_like(contact)], axis=1).reshape(12)
     pcom = x[3:6]
     pcom_r = xr[3:6]
     prel = x[12:24] - jnp.tile(pcom, 4)
@@ -64,11 +68,6 @@ def _footreg_terms(x, contact, xr, foot_r, dtype):
     dprel_dx = dprel_dx.at[:, 3:6].set(
         -jnp.tile(jnp.eye(3, dtype=dtype), (4, 1)) * c12[:, None])
     return d_prel, qfoot, dprel_dx
-
-
-# --------------------------------------------------------------------------
-# Running cost: value and partials per DYN transition
-# --------------------------------------------------------------------------
 
 
 # --------------------------------------------------------------------------
@@ -123,11 +122,3 @@ def reb_derivs(g, delta, eps):
     d1 = jnp.where(g > delta, -1.0 / g_safe, (g - 2 * delta) / (delta * delta))
     d2 = jnp.where(g > delta, 1.0 / (g_safe * g_safe), 1.0 / (delta * delta))
     return eps * d1, eps * d2
-
-
-# --------------------------------------------------------------------------
-# Touchdown terminal constraint + AL (reference: HKDConstraints.cpp:75-171,
-# ConstraintsBase.h:374-399)
-# --------------------------------------------------------------------------
-
-

@@ -90,8 +90,12 @@ class HKDProblem:
         self.dtype = dtype
         self.phases: List[Phase] = []
         n_steps = int(round(plan_duration / dt_sim))
-        # margin for phase boundaries (realistic gaits: <= ~8 phases/horizon)
-        self.T = T if T is not None else n_steps + 15
+        # margin for phase-boundary (reset) transitions. The densest shipped
+        # gait phase-switches every ~8 steps, so long plans need margin
+        # proportional to the horizon; the default 0.6 s MPC window keeps
+        # its historical T=75 (bench/test shapes unchanged).
+        self.T = (T if T is not None
+                  else n_steps + 15 + max(0, (n_steps - 60) // 4))
         self._uid_counter = 0
         self._al_reinit_uids = set()  # phases whose AL params were re-inited
                                       # by _add_tconstr during the last update()

@@ -25,12 +25,13 @@ def save_problem(path: str, pb) -> None:
     meta = {"n_phases": len(pb.phases), "k_cur": pb.ref.k_cur,
             "plan_duration": pb.plan_duration, "dt_sim": pb.dt_sim,
             "dt_mpc": pb.dt_mpc, "T": pb.T,
+            "uid_counter": pb._uid_counter,
             "phases": []}
     for i, ph in enumerate(pb.phases):
         meta["phases"].append({
             "start_time": ph.start_time, "end_time": ph.end_time,
             "horizon": ph.horizon, "reach_end": bool(ph.reach_end),
-            "has_tconstr": bool(ph.has_tconstr)})
+            "has_tconstr": bool(ph.has_tconstr), "uid": ph.uid})
         for name in _PHASE_ARRAYS:
             arrays[f"p{i}_{name}"] = np.asarray(getattr(ph, name))
         arrays[f"p{i}_contact"] = np.asarray(ph.contact)
@@ -52,6 +53,10 @@ def load_problem(path: str, pb) -> None:
     pb.plan_duration = meta["plan_duration"]
     pb.T = meta["T"]
     pb.phases = []
+    # Phase.uid must survive the round trip: flat_offsets()/shift_descriptor
+    # (the fused-path warm-start gather) key phases by uid, so a restore
+    # that re-numbered them would gather garbage warm starts.
+    pb._uid_counter = meta.get("uid_counter", 0)
     for i, pm in enumerate(meta["phases"]):
         ph = Phase(start_time=pm["start_time"], end_time=pm["end_time"],
                    horizon=pm["horizon"],
@@ -59,7 +64,12 @@ def load_problem(path: str, pb) -> None:
                    contact_duration=data[f"p{i}_contact_duration"])
         ph.reach_end = pm["reach_end"]
         ph.has_tconstr = pm["has_tconstr"]
+        if "uid" in pm:
+            ph.uid = pm["uid"]
+        else:  # legacy checkpoint without uids: assign fresh, distinct ids
+            ph.uid = pb._new_uid()
         ph.next_contact = data[f"p{i}_next_contact"]
         for name in _PHASE_ARRAYS:
             setattr(ph, name, data[f"p{i}_{name}"].copy())
         pb.phases.append(ph)
+    pb._uid_counter = max([pb._uid_counter] + [p.uid for p in pb.phases])

@@ -36,12 +36,19 @@ def main():
         prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
     prob_b, state_b = jax.device_put((prob_b, state_b))
 
+    # the default model now carries the T-minor cost partials, so 'base'
+    # must explicitly detach them for the tminor-vs-base pair to measure
+    # partials on vs off (and not noise)
+    spec_base = copy.copy(hkd_model_spec())
+    spec_base.running_partials_tbatch = None
+    spec_base.terminal_partials_tbatch = None
     spec_tm = copy.copy(hkd_model_spec())
     spec_tm.running_partials_tbatch = hkd_tminor.running_partials_tbatch
     spec_tm.terminal_partials_tbatch = hkd_tminor.terminal_partials_tbatch
 
     variants = {
-        "base": (opt_rt, dict(parallel_rollout=True, pallas_backward=True)),
+        "base": (opt_rt, dict(parallel_rollout=True, pallas_backward=True,
+                              model=spec_base)),
         "al0": (dataclasses.replace(opt_rt, max_AL_iter=0),
                 dict(parallel_rollout=True, pallas_backward=True)),
         "assoc": (opt_rt, dict(parallel_rollout=True, pallas_backward=True,

@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hkdmpc_tpu.models import hkd
+from hkdmpc_tpu.models import hkd_weights as HW
 
 
 def _np(f, *args):
@@ -82,21 +83,20 @@ class PhaseRef:
     # --- costs (HKDCost.h / SinglePhaseInterface.cpp) ----------------------
 
     def q_diag(self):
-        q = np.array([1, 4, 5, 1, 1, 30, .2, .2, .2, 4, 1, .5] + [0.0] * 12)
+        q = np.array(list(HW.Q_BODY) + [0.0] * 12)
         for l in range(4):
-            q[12 + 3 * l: 15 + 3 * l] = 0.2 * (1 - self.contact[l])
+            q[12 + 3 * l: 15 + 3 * l] = HW.Q_SWING_LEG * (1 - self.contact[l])
         return q
 
     def qf_diag(self):
-        scale = np.array([1, 1, 2, 1, 1, 20, .3, .3, .3, 1, 3, 1]
-                         + [.01] * 12)
-        return 20.0 * scale * self.q_diag()
+        scale = np.array(list(HW.QF_SCALE_BODY) + [HW.QF_SCALE_LEG] * 12)
+        return HW.QF_MULT * scale * self.q_diag()
 
-    R_DIAG = np.array([0.2] * 12 + [0.1] * 12)
+    R_DIAG = np.array([HW.R_GRF] * 12 + [HW.R_QJD] * 12)
 
     def footreg(self, x, k):
         c12 = np.repeat(self.contact, 3)
-        W = 20.0 * np.tile([3.0, 1.0, 0.0], 4) * c12
+        W = HW.FOOTREG_MULT * np.tile(HW.FOOTREG_AXIS, 4) * c12
         prel = x[12:24] - np.tile(x[3:6], 4)
         prel_r = self.foot_r[k] - np.tile(self.xr[k][3:6], 4)
         d = prel - prel_r
@@ -116,12 +116,14 @@ class PhaseRef:
         k = self.horizon
         dx = x - self.xr[k]
         d, W, _ = self.footreg(x, k)
-        return 0.5 * dx @ (self.qf_diag() * dx) + 10.0 * d @ (W * d)
+        return (0.5 * dx @ (self.qf_diag() * dx)
+                + HW.FOOTREG_TERM_FACTOR * d @ (W * d))
 
     # --- GRF constraint + ReB ---------------------------------------------
 
-    A_LEG = np.array([[0, 0, 1.], [-1, 0, .7], [1, 0, .7], [0, -1, .7],
-                      [0, 1, .7]])
+    _MU = HW.MU_FRICTION
+    A_LEG = np.array([[0, 0, 1.], [-1, 0, _MU], [1, 0, _MU], [0, -1, _MU],
+                      [0, 1, _MU]])
 
     def grf_rows(self, u):
         g = np.zeros(20)
@@ -270,8 +272,10 @@ class NaiveHSDDP:
             k = ph.horizon
             dx = x - ph.xr[k]
             d, W, J = ph.footreg(x, k)
-            ph.tc["phix"] = ph.qf_diag() * dx + 20.0 * J.T @ (W * d)
-            ph.tc["phixx"] = np.diag(ph.qf_diag()) + 20.0 * J.T @ (W[:, None] * J)
+            tf2 = 2.0 * HW.FOOTREG_TERM_FACTOR
+            ph.tc["phix"] = ph.qf_diag() * dx + tf2 * J.T @ (W * d)
+            ph.tc["phixx"] = (np.diag(ph.qf_diag())
+                              + tf2 * J.T @ (W[:, None] * J))
             if self.opt.AL_active:
                 h = ph.touchdown(x)
                 for l in range(4):

@@ -58,9 +58,13 @@ def test_lq_tminor_matches_generic():
                                 fast)
     b = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True,
                                 slow)
-    for name in ("A", "B", "lx", "lu", "lxx", "luu", "phix", "phixx"):
-        np.testing.assert_allclose(getattr(a, name), getattr(b, name),
-                                   atol=1e-11, err_msg=name)
+    for name in ("A", "B", "lx", "lu", "lxx", "luu", "lux", "phix", "phixx"):
+        # lux may be elided as None (lux_is_zero) — that claims exact zeros,
+        # so compare against the generic path with None treated as 0
+        va, vb = getattr(a, name), getattr(b, name)
+        if va is None:
+            va = np.zeros_like(np.asarray(vb))
+        np.testing.assert_allclose(va, vb, atol=1e-11, err_msg=name)
 
 
 def test_aug_sweep_riccati_matches_explicit():
@@ -245,6 +249,74 @@ def test_fused_mpc_step_matches_classic():
     for a, b in zip(classic.problem.phases, fused.problem.phases):
         np.testing.assert_allclose(b.Xbar, a.Xbar, rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(b.Ubar, a.Ubar, rtol=1e-9, atol=1e-10)
+
+
+def test_checkpoint_resume_fused_matches_classic(tmp_path):
+    """Checkpoint -> HKDMPCSolver.resume() re-arms the fused device-resident
+    path: Phase.uid survives the checkpoint round trip, so the uid-keyed
+    shift-descriptor gathers (problem.flat_offsets) stay valid and a resumed
+    fused service matches a resumed classic service step for step."""
+    from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
+    from hkdmpc_tpu.utils.checkpoint import save_problem
+
+    REF = "/root/reference/Reference/Data/trot/quad_reference.csv"
+    SET = "/root/reference/HKDMPC/settings/ddp_setting.info"
+    CPAR = "/root/reference/HKDMPC/settings/constraint_params.info"
+    cfg = dict(plan_duration=0.3)
+
+    rng = np.random.default_rng(7)
+
+    def meas(step):
+        return dict(
+            rpy=rng.normal(scale=0.01, size=3),
+            p=np.array([0.0, 0.0, 0.25]) + rng.normal(scale=0.005, size=3),
+            v=rng.normal(scale=0.02, size=3),
+            omega=rng.normal(scale=0.02, size=3),
+            qJ=np.tile([0.0, -0.8, 1.6], 4) + rng.normal(scale=0.01, size=12),
+            mpc_time=step * 0.01)
+
+    live = HKDMPCSolver(REF, SET, CPAR, MPCConfig(**cfg))
+    live.initialize()
+    for step in range(3):
+        live.update(**meas(step))
+    ckpt = str(tmp_path / "mpc_state.npz")
+    save_problem(ckpt, live.problem)
+    assert len({ph.uid for ph in live.problem.phases}) == \
+        len(live.problem.phases), "phase uids must be distinct"
+
+    classic = HKDMPCSolver(REF, SET, CPAR, MPCConfig(**cfg))
+    fusedr = HKDMPCSolver(REF, SET, CPAR, MPCConfig(fused_step=True, **cfg))
+    c0 = classic.resume(ckpt)
+    f0 = fusedr.resume(ckpt)
+    # restored uids are distinct (the r2 bug collapsed them all to -1)
+    assert len({ph.uid for ph in fusedr.problem.phases}) == \
+        len(fusedr.problem.phases)
+    np.testing.assert_allclose(f0.hkd_controls, c0.hkd_controls)
+
+    rng = np.random.default_rng(7)  # replay the same measurement stream
+    for step in range(3):
+        meas(step)
+    saw_pop = False
+    uids0 = {ph.uid for ph in classic.problem.phases}
+    for step in range(3, 13):
+        m = meas(step)
+        cc = classic.update(**m)
+        fc = fusedr.update(**m)
+        saw_pop = saw_pop or {ph.uid for ph in classic.problem.phases} != uids0
+        np.testing.assert_allclose(fc.hkd_controls, cc.hkd_controls,
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(fc.des_body_state, cc.des_body_state,
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(fc.feedback, cc.feedback,
+                                   rtol=1e-8, atol=1e-8,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(fc.foot_placement, cc.foot_placement,
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=f"step {step}")
+    assert saw_pop, "test must cross a phase pop/append to exercise the " \
+        "uid-keyed shift descriptor"
 
 
 def test_batched_solve_has_no_default_precision_matmuls():

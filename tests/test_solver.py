@@ -146,3 +146,33 @@ def test_single_shooting_mode():
     assert float(res.cost) < 50.0
     # single shooting: defects only at phase starts, driven by rollout chaining
     assert float(res.dyn_feas) < 1.0
+
+
+def test_long_horizon_solve():
+    """Long-horizon scaling (SURVEY §5): a 2.0 s plan (T=215, ~12 phases)
+    solves through the same flattened static-shape machinery — the graph
+    builder, warm-start bookkeeping and backward sweep are sized by T, so
+    nothing beyond T~75 had been demonstrated before this test. Runtime
+    iteration caps keep CPU time bounded; the full-convergence behavior is
+    covered by the T=75 suite and the TPU bench point (DESIGN.md §3g)."""
+    pb, x0, opt = make_trot(plan_duration=2.0)
+    assert pb.T >= 215          # ~3x the MPC window
+    assert len(pb.phases) >= 10
+    n_trans = sum(ph.horizon for ph in pb.phases) + len(pb.phases) - 1
+    assert n_trans <= pb.T      # the scaled margin fits the phase density
+    prob, state = pb.build(x0)
+    res = ddp.solve_jit(prob, state, opt, pb.all_shooting())
+    assert not bool(res.solve_failed)
+    assert np.isfinite(float(res.cost))
+    # multiple-shooting defects closed (same bar as the T=75 cold solve)
+    assert float(res.dyn_feas) < 1e-3
+    assert float(res.max_pconstr) > -1e-8
+    # warm-started runtime-caps re-solve after a receding-horizon update
+    # stays healthy (the MPC regime at long horizon)
+    pb.unflatten(res.state)
+    pb.update()
+    x1 = np.asarray(res.state.Xbar[1])
+    prob2, state2 = pb.build(x1)
+    res2 = ddp.solve_jit(prob2, state2, opt.runtime(), pb.all_shooting())
+    assert not bool(res2.solve_failed)
+    assert float(res2.dyn_feas) < 1e-2
