@@ -141,9 +141,10 @@ def unpack_bundle(vec: np.ndarray, n_cmd: int) -> dict:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, donate_argnums=(1,),
-         static_argnames=("opt", "parallel_rollout", "n_cmd", "model"))
+         static_argnames=("opt", "parallel_rollout", "n_cmd", "model",
+                          "assoc_linear"))
 def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
-               model=None):
+               model=None, assoc_linear=False):
     T = state.Ubar.shape[0]
     dtype = state.Xbar.dtype
     iv = _unpack(ints, _int_layout(T, n_cmd))
@@ -213,7 +214,8 @@ def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
                             defect_bar=defect, constr=constr)
 
     # ---- 4. solve ----------------------------------------------------------
-    res = ddp.solve(prob, new_state, opt, parallel_rollout, model)
+    res = ddp.solve(prob, new_state, opt, parallel_rollout, model,
+                    assoc_linear)
 
     # ---- 5. command extraction (make_command walk, HKDMPC.cpp:242-298) ----
     ci = iv["cmd_idx"]

@@ -40,6 +40,12 @@ class MPCConfig:
     fused_step: bool = False  # device-resident fused update (mpc/fused.py):
                               # one jitted program + packed I/O per step;
                               # equivalence pinned in tests/test_fast_paths.py
+    assoc_linear: bool = True  # parallel-in-time linear rollout for the
+                               # batch-1 MPC regime: measured 11% faster per
+                               # solve on v5e at T=75 AND T=215 (10.04 vs
+                               # 11.32 ms; scripts/exp_assoc_latency.py).
+                               # Loses at saturating batch — solve_batch
+                               # keeps the sequential scan.
 
 
 @dataclasses.dataclass
@@ -130,7 +136,8 @@ class HKDMPCSolver:
         prob, state = self.problem.build(x0)
         t0 = time.perf_counter()
         res = ddp.solve_jit(prob, state, self.opt,
-                            self.problem.all_shooting())
+                            self.problem.all_shooting(),
+                            assoc_linear=self.cfg.assoc_linear)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -181,7 +188,8 @@ class HKDMPCSolver:
         prob, state = self.problem.build(x0)
         t0 = time.perf_counter()
         res = ddp.solve_jit(prob, state, self.opt.runtime(),
-                            self.problem.all_shooting())
+                            self.problem.all_shooting(),
+                            assoc_linear=self.cfg.assoc_linear)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -277,7 +285,8 @@ class HKDMPCSolver:
         t0 = time.perf_counter()
         self._state_dev, bundle = fused.fused_step(
             self._tables, self._state_dev, ints, floats,
-            self.opt.runtime(), pb.all_shooting(), n)
+            self.opt.runtime(), pb.all_shooting(), n,
+            assoc_linear=self.cfg.assoc_linear)
         self._host_stale = True
         self._pending = dict(bundle=bundle, n=n, t0=t0, times=times,
                              contacts=contacts, status=status, found=found)

@@ -21,6 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # v5e public specs
 HBM_GBPS = 819.0
 MXU_BF16_TFLOPS = 197.0
+# VPU f32 peak estimate: (8, 128) vector unit, 4 ALUs/lane, FMA = 2 FLOPs,
+# ~0.94 GHz TensorCore clock. Not an official number — the VPU peak is not
+# published for v5e — but the right order for an all-FMA workload.
+VPU_F32_TFLOPS = 8 * 128 * 4 * 2 * 0.94e9 / 1e12  # ~7.7
+
+
+def pallas_backward_flops(T, B, n_sweeps=1):
+    """Hand count for the split-sweep kernel (XLA's cost analysis reports 0
+    flops for custom calls): per (t, lane) — five 24-term FMA slabs over
+    (24,24) [M1, AtHA, M2, BtHA, BtHB], two (24,) contractions, 24 pivots
+    on the (24,49) tableau, and the (24,24) Schur-complement slab."""
+    slabs = 5 * 24 * 24 * 24 * 2           # quadratic-expansion products
+    vecs = 2 * 24 * 24 * 2                 # AtGn, BtGn
+    pivots = 24 * 24 * 49 * 2              # split sweep
+    schur = 24 * 24 * 24 * 2 + 3 * 24 * 2  # Qxx - Qux'S, Gd, dv
+    return (slabs + vecs + pivots + schur) * T * B * n_sweeps
 
 
 def main():
@@ -64,17 +80,26 @@ def main():
         getattr(mem, "argument_size_in_bytes", 0) + \
         getattr(mem, "output_size_in_bytes", 0)
 
+    # the runtime-caps workload runs the backward kernel twice per solve
+    # (2 outer iters x 1 DDP iter, no reg retries on this workload)
+    kflops = pallas_backward_flops(prob.kind.shape[0], batch, n_sweeps=2)
+    total_flops = flops + kflops
+
     print(f"batch={batch} wall={t*1e3:.1f} ms "
           f"({batch / t:.0f} solves/s)")
     print(f"XLA-counted flops          : {flops/1e12:.3f} TFLOP "
-          f"-> {flops/t/1e12:.2f} TFLOP/s achieved "
-          f"({100*flops/t/1e12/MXU_BF16_TFLOPS:.1f}% of bf16-MXU peak; "
-          f"program is deliberately MXU-free, VPU-bound)")
+          f"(+{kflops/1e12:.3f} hand-counted in the Pallas kernel, which "
+          f"XLA reports as 0) -> {total_flops/t/1e12:.2f} TFLOP/s achieved")
+    print(f"VPU f32 utilization        : "
+          f"{100*total_flops/t/1e12/VPU_F32_TFLOPS:.1f}% of the ~"
+          f"{VPU_F32_TFLOPS:.1f} TFLOP/s VPU estimate "
+          f"(MXU irrelevant: program is deliberately MXU-free)")
     print(f"XLA-counted bytes accessed : {bytes_acc/1e9:.2f} GB "
           f"-> {bytes_acc/t/1e9:.1f} GB/s "
           f"({100*bytes_acc/t/1e9/HBM_GBPS:.1f}% of HBM peak)")
-    print(f"arithmetic intensity       : {flops/max(bytes_acc,1):.2f} FLOP/B "
-          f"(HBM roofline knee at ~{MXU_BF16_TFLOPS*1e12/HBM_GBPS/1e9:.0f})")
+    print(f"arithmetic intensity       : "
+          f"{total_flops/max(bytes_acc,1):.2f} FLOP/B "
+          f"(VPU roofline knee at ~{VPU_F32_TFLOPS*1e12/HBM_GBPS/1e9:.1f})")
     print(f"peak HBM footprint (XLA)   : {peak_hbm/1e9:.2f} GB of 16")
 
 
