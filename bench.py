@@ -58,11 +58,15 @@ def main():
     # — scripts/exp_precision_bench.py). TPU f32 only.
     use_pallas = (jax.default_backend() != "cpu"
                   and os.environ.get("BENCH_PALLAS", "1") == "1")
+    # kernel_jac: jacobians rebuilt inside the Pallas kernel from (X, U)
+    # via sparse entry products; A/B never materialized; jvp linear rollout
+    use_kjac = (use_pallas and os.environ.get("BENCH_KJAC", "1") == "1")
 
     def run_all():
         out = [ddp.solve_batch(dataclasses.replace(prob_b, x0=x0), state_b,
                                opt, parallel_rollout=True,
-                               pallas_backward=use_pallas)
+                               pallas_backward=use_pallas and not use_kjac,
+                               kernel_jac=use_kjac)
                for x0 in x0s]
         out[-1].cost.block_until_ready()
         return out

@@ -83,43 +83,25 @@ def _leg_fk_entries(qcols, leg):
     return p, J
 
 
-def build_AB_tminor(prob, X, U):
-    """(A, B) (T, 24, 24) for the flattened transition graph: dynamics
-    Jacobians at DYN transitions, reset-map Jacobian Px in A at RESET
-    transitions, identity at PAD — all blended entrywise.
+def dyn_jac_entries(xcols, ucols, c, z, one):
+    """Sparse entries of the continuous-part jacobians for the HKD dynamics
+    (the discrete step is A = I + dt*dynA, B = dt*dynB).
 
-    X: (T+1, 24) node states, U: (T, 24).
-    """
-    dtype = X.dtype
-    T = prob.T
-    dt = prob.dt
-    Xs = X[:-1]
-
-    is_dyn = (prob.kind == DYN).astype(dtype)
-    is_reset = (prob.kind == RESET).astype(dtype)
-
-    col = lambda M, i: M[:, i]
-    eul = (col(Xs, 0), col(Xs, 1), col(Xs, 2))
+    xcols/ucols: 24 column vectors each (any trailing shape — (T,) in the
+    XLA T-minor builder, (BB,) inside the Pallas kernel); c: 4 contact
+    vectors; z/one: matching zero/one vectors. Returns (dynA, dynB) dicts
+    {(i, j): vec}. Single definition site shared by build_AB_tminor and the
+    in-kernel jacobian path, so they cannot drift."""
+    eul = (xcols[0], xcols[1], xcols[2])
     R, dR, trig = _rot_entries(eul)
     cp, sp = trig["cp"], trig["sp"]
     cr, sr = trig["cr"], trig["sr"]
-    wx, wy, wz = col(Xs, 6), col(Xs, 7), col(Xs, 8)
-    px, py, pz = col(Xs, 3), col(Xs, 4), col(Xs, 5)
-    z = jnp.zeros(T, dtype)
-    one = jnp.ones(T, dtype)
-
-    c = [prob.contact[:, l] for l in range(4)]
-    f = [[col(U, 3 * l + j) for j in range(3)] for l in range(4)]
-    qd = [[col(Xs, 12 + 3 * l + j) for j in range(3)] for l in range(4)]
+    wx, wy, wz = xcols[6], xcols[7], xcols[8]
+    px, py, pz = xcols[3], xcols[4], xcols[5]
+    f = [[ucols[3 * l + j] for j in range(3)] for l in range(4)]
+    qd = [[xcols[12 + 3 * l + j] for j in range(3)] for l in range(4)]
     r = [[qd[l][0] - px, qd[l][1] - py, -pz] for l in range(4)]
 
-    A: dict = {}
-    B: dict = {}
-
-    def addA(i, j, v):
-        A[(i, j)] = A.get((i, j), 0.0) + v
-
-    # --- DYN jacobian entries (scaled by dt, + I added at blend time) -----
     s_ = sr * wy + cr * wz
     t_ = cr * wy - sr * wz
     dynA: dict = {}
@@ -167,17 +149,36 @@ def build_AB_tminor(prob, X, U):
             addD(6 + i, 12 + 3 * l + 1,
                  c[l] * Iinv[i] * sum(R[k][i] * eyf[k] for k in range(3)))
 
-    # --- RESET (Px) entries: identity + masked foot-jacobian leg rows -----
-    rstA: dict = {}
-
-    def addR(i, j, v):
-        rstA[(i, j)] = rstA.get((i, j), 0.0) + v
-
-    for i in range(12):
-        addR(i, i, one)
+    dynB: dict = {}
     for l in range(4):
-        to_swing = prob.contact[:, l] * (1.0 - prob.contact_next[:, l])
-        to_stance = (1.0 - prob.contact[:, l]) * prob.contact_next[:, l]
+        RXm = [[z, pz, r[l][1]], [-pz, z, -r[l][0]], [-r[l][1], r[l][0], z]]
+        for i in range(3):
+            for j in range(3):
+                dynB[(6 + i, 3 * l + j)] = c[l] * Iinv[i] * sum(
+                    R[k][i] * RXm[k][j] for k in range(3))
+        for j in range(3):
+            dynB[(9 + j, 3 * l + j)] = c[l] * (1.0 / mc.MASS)
+            dynB[(12 + 3 * l + j, 12 + 3 * l + j)] = 1.0 - c[l]
+
+    return dynA, dynB
+
+
+def reset_jac_entries(xcols, c_cur, c_next, z, one):
+    """Sparse entries S of the reset-map jacobian deviation (Px = I + S).
+    Rows 0..11 are identity (no entries). Same column-vector convention as
+    dyn_jac_entries."""
+    eul = (xcols[0], xcols[1], xcols[2])
+    R, dR, _ = _rot_entries(eul)
+    qd = [[xcols[12 + 3 * l + j] for j in range(3)] for l in range(4)]
+
+    S: dict = {}
+
+    def addS(i, j, v):
+        S[(i, j)] = S.get((i, j), 0.0) + v
+
+    for l in range(4):
+        to_swing = c_cur[l] * (1.0 - c_next[l])
+        to_stance = (1.0 - c_cur[l]) * c_next[l]
         keep = 1.0 - to_swing - to_stance
         p_leg, J_leg = _leg_fk_entries([qd[l][0], qd[l][1], qd[l][2]], l)
         hip = _HIP[l]
@@ -186,33 +187,61 @@ def build_AB_tminor(prob, X, U):
         # rows x,y of the foot jacobian blocks (z row killed by cmap)
         for i in range(2):
             for ang in range(3):
-                addR(r0 + i, ang,
-                     to_stance * sum(dR[ang][i][k] * pfull[k] for k in range(3)))
-            addR(r0 + i, 3 + i, to_stance * one)
+                addS(r0 + i, ang,
+                     to_stance * sum(dR[ang][i][k] * pfull[k]
+                                     for k in range(3)))
+            addS(r0 + i, 3 + i, to_stance * one)
             for j in range(3):
-                addR(r0 + i, r0 + j,
+                addS(r0 + i, r0 + j,
                      to_stance * sum(R[i][k] * J_leg[k][j] for k in range(3)))
         for j in range(3):
-            addR(r0 + j, r0 + j, keep * one)
+            addS(r0 + j, r0 + j, (keep - 1.0) * one)
 
-    # --- blend A = pad*I + dyn*(I + dt*dynA) + reset*Px -------------------
+    return S
+
+
+def build_AB_tminor(prob, X, U):
+    """(A, B) (T, 24, 24) for the flattened transition graph: dynamics
+    Jacobians at DYN transitions, reset-map Jacobian Px in A at RESET
+    transitions, identity at PAD — all blended entrywise.
+
+    X: (T+1, 24) node states, U: (T, 24).
+    """
+    dtype = X.dtype
+    T = prob.T
+    dt = prob.dt
+    Xs = X[:-1]
+
+    is_dyn = (prob.kind == DYN).astype(dtype)
+    is_reset = (prob.kind == RESET).astype(dtype)
+
+    z = jnp.zeros(T, dtype)
+    one = jnp.ones(T, dtype)
+    xcols = [Xs[:, i] for i in range(24)]
+    ucols = [U[:, i] for i in range(24)]
+    c = [prob.contact[:, l] for l in range(4)]
+    cn = [prob.contact_next[:, l] for l in range(4)]
+
+    dynA, dynB = dyn_jac_entries(xcols, ucols, c, z, one)
+    S = reset_jac_entries(xcols, c, cn, z, one)
+
+    A: dict = {}
+    B: dict = {}
+
+    def addA(i, j, v):
+        A[(i, j)] = A.get((i, j), 0.0) + v
+
+    # --- blend A = pad*I + dyn*(I + dt*dynA) + reset*(I + S) --------------
     for i in range(24):
-        addA(i, i, (1.0 - is_reset) * one)   # identity for PAD and DYN
+        addA(i, i, one)
     for (i, j), v in dynA.items():
         addA(i, j, is_dyn * dt * v)
-    for (i, j), v in rstA.items():
+    for (i, j), v in S.items():
         addA(i, j, is_reset * v)
 
-    # --- B (zero at RESET/PAD) --------------------------------------------
+    # --- B = dyn * dt * dynB (zero at RESET/PAD) --------------------------
     bd = is_dyn * dt
-    for l in range(4):
-        RXm = [[z, pz, r[l][1]], [-pz, z, -r[l][0]], [-r[l][1], r[l][0], z]]
-        for i in range(3):
-            for j in range(3):
-                B[(6 + i, 3 * l + j)] = bd * c[l] * Iinv[i] * sum(
-                    R[k][i] * RXm[k][j] for k in range(3))
-        for j in range(3):
-            B[(9 + j, 3 * l + j)] = bd * c[l] / mc.MASS
-            B[(12 + 3 * l + j, 12 + 3 * l + j)] = bd * (1.0 - c[l])
+    for (i, j), v in dynB.items():
+        B[(i, j)] = bd * v
 
     return _assemble(A, T, dtype), _assemble(B, T, dtype)

@@ -260,3 +260,278 @@ def backward_sweep_pallas(kind_b, A, B, lxx, luu, lx, lu, defect,
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]
     return dU, K, dv1_p[0, :Bt], dv2_p[0, :Bt], ok_p[0, :Bt] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# HKD-specific kernel: jacobians computed IN-KERNEL from (X, U) with
+# sparsity-aware products.
+#
+# A = I + dt*DA has only ~70 nonzero DA entries (B ~60, the reset-map
+# deviation S ~70) out of 576, and the entry formulas are shared with the
+# XLA builder (ops/jac_tminor.dyn_jac_entries / reset_jac_entries — single
+# definition site). Exploiting that sparsity turns the five dense 24-term
+# FMA slab products (~8.6k vector-register ops per grid step) into ~1k
+# entry-scaled row/column FMAs, and removes the (B, T, 24, 24) A/B
+# materialization entirely: the kernel reads the (24,)-wide X/U slabs
+# instead of two 24x24 slabs per step. lq then skips building A/B
+# (skip_ab), and the linear rollout uses the jvp path — nothing in the
+# batched solve touches a dense jacobian tensor anymore.
+# ---------------------------------------------------------------------------
+
+def _sparse_post(M, ed):
+    """M @ D for sparse D = {(i, j): d}: out[:, j, :] = sum_i M[:, i, :]*d."""
+    cols = [None] * 24
+    for (i, j), d in ed.items():
+        v = M[:, i, :] * d[None, :]
+        cols[j] = v if cols[j] is None else cols[j] + v
+    zero = jnp.zeros_like(M[:, 0, :])
+    return jnp.stack([cv if cv is not None else zero for cv in cols], axis=1)
+
+
+def _sparse_pre(M, ed):
+    """D^T @ M: out[i, ...] = sum_j D[j, i] * M[j, ...]."""
+    rows = [None] * 24
+    for (j, i), d in ed.items():
+        v = d[None, :] * M[j]
+        rows[i] = v if rows[i] is None else rows[i] + v
+    zero = jnp.zeros_like(M[0])
+    return jnp.stack([rv if rv is not None else zero for rv in rows], axis=0)
+
+
+def _sparse_pre_vec(g, ed):
+    """D^T @ g for g (24, BB): out[i] = sum_j D[j, i] * g[j]."""
+    rows = [None] * 24
+    for (j, i), d in ed.items():
+        v = d * g[j]
+        rows[i] = v if rows[i] is None else rows[i] + v
+    zero = jnp.zeros_like(g[0])
+    return jnp.stack([rv if rv is not None else zero for rv in rows], axis=0)
+
+
+def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, lxx_ref, luu_ref, lx_ref,
+                lu_ref, dnext_ref, phix_t_ref, phixx_t_ref, phix_n_ref,
+                phixx_n_ref, isdyn_ref, isrst_ref, islast_ref, reg_ref,
+                dt_ref,
+                K_ref, dU_ref, dv1_ref, dv2_ref, ok_ref,
+                G_s, H_s, dv1_s, dv2_s, ok_s, W_s):
+    from hkdmpc_tpu.ops.jac_tminor import dyn_jac_entries, reset_jac_entries
+
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        G_s[...] = jnp.zeros_like(G_s)
+        H_s[...] = jnp.zeros_like(H_s)
+        dv1_s[...] = jnp.zeros_like(dv1_s)
+        dv2_s[...] = jnp.zeros_like(dv2_s)
+        ok_s[...] = jnp.ones_like(ok_s)
+
+    is_dyn = isdyn_ref[0, 0]     # (BB,)
+    is_rst = isrst_ref[0, 0]
+    is_last = islast_ref[0, 0]
+    reg = reg_ref[0]
+    dtv = dt_ref[0]
+
+    x = X_ref[0]                 # (24, BB) source-node state
+    u = U_ref[0]
+    c4 = c_ref[0]                # (4, BB)
+    cn4 = cn_ref[0]
+
+    xcols = [x[i] for i in range(24)]
+    ucols = [u[i] for i in range(24)]
+    cc = [c4[l] for l in range(4)]
+    ccn = [cn4[l] for l in range(4)]
+    z = jnp.zeros_like(xcols[0])
+    one = jnp.ones_like(xcols[0])
+
+    dynA, dynB = dyn_jac_entries(xcols, ucols, cc, z, one)
+    S = reset_jac_entries(xcols, cc, ccn, z, one)
+    edA = {k: dtv * v for k, v in dynA.items()}
+    edB = {k: dtv * v for k, v in dynB.items()}
+
+    H = H_s[...] + is_last[None, None, :] * phixx_n_ref[0]
+    G = G_s[...] + is_last[None, :] * phix_n_ref[0]
+    dnext = dnext_ref[0]
+    Gn = G + jnp.sum(H * dnext[None, :, :], axis=1)
+
+    # ---- DYN quadratic expansion, sparse ---------------------------------
+    HA = H + _sparse_post(H, edA)            # H @ (I + dt DA)
+    AtHA = HA + _sparse_pre(HA, edA)
+    Qux = _sparse_pre(HA, edB)               # B^T H A
+    HB = _sparse_post(H, edB)
+    BtHB = _sparse_pre(HB, edB)
+    AtGn = Gn + _sparse_pre_vec(Gn, edA)
+    BtGn = _sparse_pre_vec(Gn, edB)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 1)
+    eye24 = (ii == jj).astype(jnp.float32)[:, :, None]
+
+    Qx = lx_ref[0] + AtGn
+    Qu = lu_ref[0] + BtGn
+    Qxx = lxx_ref[0] + AtHA + reg[None, None, :] * eye24
+    Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
+    Quu = luu_ref[0] + BtHB + reg[None, None, :] * eye24
+
+    # ---- split sweep on the (24, 49) tableau [Quu | Qux | Qu] ------------
+    W_s[...] = jnp.zeros_like(W_s)
+    W_s[:, 0:24, :] = Quu
+    W_s[:, 24:48, :] = Qux
+    W_s[:, 48, :] = Qu
+
+    ok = jnp.ones((BB,), jnp.float32)
+    e24_all = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0)
+    e49_all = jax.lax.broadcasted_iota(jnp.int32, (NS, 1), 0)
+    for k in range(24):
+        W = W_s[...]
+        row = W[k]
+        col = W[:, k]
+        d = row[k]
+        ok = ok * (d > 1e-9).astype(jnp.float32)
+        d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+        e24 = (e24_all == k).astype(jnp.float32)
+        e49 = (e49_all == k).astype(jnp.float32)
+        cme = col - e24
+        rme = (row - e49) / d_safe[None, :]
+        W_s[...] = (W - cme[:, None, :] * rme[None, :, :]
+                    - 2.0 * (e24[:, None, :] * e49[None, :, :]))
+
+    W = W_s[...]
+    Sw = W[:, 24:48, :]
+    sv = W[:, 48, :]
+    Kd = -Sw
+    dUd = -sv
+    Hd = Qxx - _xtc(Qux, Sw)
+    Hd = 0.5 * (Hd + Hd.transpose(1, 0, 2))
+    Gd = Qx - jnp.sum(Qux * sv[:, None, :], axis=0)
+    dv = jnp.sum(Qu * sv, axis=0)
+
+    # ---- RESET path: Px = I + S, sparse sandwich -------------------------
+    HS = _sparse_post(H, S)
+    M = H + HS
+    Hr = phixx_t_ref[0] + M + _sparse_pre(M, S)
+    Gr = phix_t_ref[0] + Gn + _sparse_pre_vec(Gn, S)
+
+    is_pad = 1.0 - is_dyn - is_rst
+    G_s[...] = (is_dyn[None, :] * Gd + is_rst[None, :] * Gr
+                + is_pad[None, :] * G)
+    H_s[...] = (is_dyn[None, None, :] * Hd + is_rst[None, None, :] * Hr
+                + is_pad[None, None, :] * H)
+
+    K_ref[0] = is_dyn[None, None, :] * Kd
+    dU_ref[0] = is_dyn[None, :] * dUd
+    dv1_s[...] = dv1_s[...] - is_dyn[None, :] * dv[None, :]
+    dv2_s[...] = dv2_s[...] + is_dyn[None, :] * dv[None, :]
+    ok_s[...] = ok_s[...] * jnp.where(is_dyn[None, :] > 0, ok[None, :], 1.0)
+
+    dv1_ref[0] = dv1_s[0]
+    dv2_ref[0] = dv2_s[0]
+    ok_ref[0] = ok_s[0]
+
+
+def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
+                              lxx, luu, lx, lu, defect, phix, phixx,
+                              reg, last_node_b, dt, interpret=False):
+    """Explicit-batch backward sweep with IN-KERNEL HKD jacobians.
+
+    kind_b (Bt, T) int32; X (Bt, T+1, 24); U (Bt, T, 24); contact /
+    contact_next (Bt, T, 4); cost partials as in backward_sweep_pallas;
+    dt scalar. Returns (dU, K, dv1, dv2, ok)."""
+    Bt, T = kind_b.shape
+    Bp = ((Bt + BB - 1) // BB) * BB
+    pad = Bp - Bt
+
+    def bm(x):
+        x = jnp.pad(x.astype(jnp.float32),
+                    [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        perm = tuple(range(1, x.ndim)) + (0,)
+        return jnp.transpose(x, perm)
+
+    X_m = bm(X[:, :-1])
+    U_m = bm(U)
+    c_m = bm(contact)
+    cn_m = bm(contact_next)
+    lxx_m, luu_m = bm(lxx), bm(luu)
+    lx_m, lu_m = bm(lx), bm(lu)
+    d_m = bm(defect)
+    phix_m = bm(phix)
+    phixx_m = bm(phixx)
+
+    from hkdmpc_tpu.solver.structs import DYN, RESET
+    is_dyn = bm((kind_b == DYN).astype(jnp.float32))[:, None, :]
+    is_rst = bm((kind_b == RESET).astype(jnp.float32))[:, None, :]
+    node_idx = jnp.arange(T + 1)[None, :]
+    is_last = bm((node_idx == last_node_b[:, None]).astype(jnp.float32))
+    is_last_t = is_last[1:][:, None, :]
+
+    reg_m = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(reg, jnp.float32), (Bt,)),
+        (0, pad))[None, :]
+    dt_m = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (Bt,)),
+        (0, pad))[None, :]
+
+    nb = Bp // BB
+    rev4 = lambda bi, ti: (T - 1 - ti, 0, 0, bi)
+    rev3 = lambda bi, ti: (T - 1 - ti, 0, bi)
+    nxt3 = lambda bi, ti: (T - ti, 0, bi)
+    nxt4 = lambda bi, ti: (T - ti, 0, 0, bi)
+    fix2 = lambda bi, ti: (0, bi)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # X
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # U
+            pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # c
+            pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # cn
+            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # lx
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # lu
+            pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),  # dnext
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # phix_t
+            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),  # phix_n
+            pl.BlockSpec((1, 24, 24, BB), nxt4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),      # reg
+            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),      # dt
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((24, BB), jnp.float32),
+            pltpu.VMEM((24, 24, BB), jnp.float32),
+            pltpu.VMEM((1, BB), jnp.float32),
+            pltpu.VMEM((1, BB), jnp.float32),
+            pltpu.VMEM((1, BB), jnp.float32),
+            pltpu.VMEM((24, NS, BB), jnp.float32),
+        ],
+    )
+
+    K_m, dU_m, dv1_p, dv2_p, ok_p = pl.pallas_call(
+        _kernel_hkd,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 24, 24, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((T, 24, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(X_m, U_m, c_m, cn_m, lxx_m, luu_m, lx_m, lu_m, d_m, phix_m, phixx_m,
+      phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
+
+    K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
+    dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]
+    return dU, K, dv1_p[0, :Bt], dv2_p[0, :Bt], ok_p[0, :Bt] > 0.5

@@ -227,18 +227,90 @@ def _riccati_backward_batched(axis_size, in_batched, kind, A, B, lxx, luu,
     return out, (True, True, True, True, True)
 
 
+class _ProbView:
+    """Minimal ProblemData view for backward_sweep / build_AB_tminor."""
+    pass
+
+
+@_custom_vmap
+def riccati_backward_hkd(kind, X, U, contact, contact_next, lxx, luu, lx, lu,
+                         defect, phix, phixx, reg, last_node, dt):
+    """Array-interface backward sweep for the default HKD model with the
+    jacobians built from (X, U) instead of passed in: the batched rule runs
+    the in-kernel-jacobian Pallas kernel (ops/pallas_backward._kernel_hkd);
+    the unbatched rule builds A/B via the SAME entry formulas
+    (ops/jac_tminor) and runs the faithful scan. Returns
+    (dU, K, dv1, dv2, ok)."""
+    from hkdmpc_tpu.ops.jac_tminor import build_AB_tminor
+
+    p = _ProbView()
+    p.kind = kind
+    p.T = kind.shape[0]
+    p.contact = contact
+    p.contact_next = contact_next
+    p.dt = dt
+    A, B = build_AB_tminor(p, X, U)
+    lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
+                phix=phix, phixx=phixx)
+    dU, K, G0, H0, dv1, dv2, ok = backward_sweep(p, lq, defect, reg,
+                                                 last_node, aug_sweep=True)
+    return dU, K, dv1, dv2, ok
+
+
+@riccati_backward_hkd.def_vmap
+def _riccati_backward_hkd_batched(axis_size, in_batched, kind, X, U, contact,
+                                  contact_next, lxx, luu, lx, lu, defect,
+                                  phix, phixx, reg, last_node, dt):
+    from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
+
+    backend = jax.default_backend()
+    if (X.shape[-1] != 24 or X.dtype != jnp.float32
+            or backend not in ("tpu", "cpu")):
+        def unbatched(*args):
+            return riccati_backward_hkd.fun(*args)
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(unbatched, in_axes=in_axes)(
+            kind, X, U, contact, contact_next, lxx, luu, lx, lu, defect,
+            phix, phixx, reg, last_node, dt)
+        return out, (True, True, True, True, True)
+
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    names = (kind, X, U, contact, contact_next, lxx, luu, lx, lu, defect,
+             phix, phixx, last_node)
+    bflags = (in_batched[0], in_batched[1], in_batched[2], in_batched[3],
+              in_batched[4], in_batched[5], in_batched[6], in_batched[7],
+              in_batched[8], in_batched[9], in_batched[10], in_batched[11],
+              in_batched[13])
+    args = [bc(a, b) for a, b in zip(names, bflags)]
+    reg_v = reg if in_batched[12] else jnp.broadcast_to(reg, (axis_size,))
+    dt_v = dt if in_batched[14] else jnp.broadcast_to(dt, (axis_size,))
+    interpret = backend == "cpu"
+    out = backward_sweep_pallas_hkd(
+        args[0], args[1], args[2], args[3], args[4], args[5], args[6],
+        args[7], args[8], args[9], args[10], args[11], reg_v, args[12], dt_v,
+        interpret=interpret)
+    return out, (True, True, True, True, True)
+
+
 def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
                                regularization, update_regularization,
                                last_node, aug_sweep: bool = True,
-                               use_pallas: bool = False):
+                               use_pallas: bool = False,
+                               kernel_jac_XU=None):
     """Retry the sweep with growing regularization until Quu is PSD everywhere
     or the regularization exceeds REG_MAX (then the solve fails).
 
     Returns (dU, K, dV_1, dV_2, reg_out, success, solve_failed).
     reg_out is the post-success relaxation reg/20 (zeroed below 1e-6),
     parity: MultiPhaseDDP.cpp:141-181.
-    """
-    dtype = lq.A.dtype
+
+    kernel_jac_XU: optional (X, U) nominal trajectories — when given (and
+    the model is the default 24-dim HKD), the jacobians are built INSIDE the
+    sweep from (X, U) via riccati_backward_hkd and lq.A/lq.B are never read
+    (they may be None; see lq_approximation(skip_ab=True))."""
+    dtype = lq.lx.dtype
 
     def cond(carry):
         reg, out, ok, failed = carry
@@ -246,7 +318,13 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
 
     def body(carry):
         reg, out, ok, failed = carry
-        if use_pallas:
+        if kernel_jac_XU is not None:
+            X, U = kernel_jac_XU
+            dU, K, dv1, dv2, ok_new = riccati_backward_hkd(
+                prob.kind, X, U, prob.contact, prob.contact_next,
+                lq.lxx, lq.luu, lq.lx, lq.lu, defect, lq.phix, lq.phixx,
+                reg, last_node, prob.dt)
+        elif use_pallas:
             dU, K, dv1, dv2, ok_new = riccati_backward(
                 prob.kind, lq.A, lq.B, lq.lxx, lq.luu, lq.lx, lq.lu,
                 defect, lq.phix, lq.phixx, reg, last_node)

@@ -69,7 +69,9 @@ def update_reb_params(constr: ConstraintState, g_all, pconstr_thresh,
 def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           parallel_rollout: bool = False, model=None,
           assoc_linear: bool = False, aug_sweep: bool = True,
-          pallas_backward: bool = False) -> SolveResult:
+          pallas_backward: bool = False,
+          jvp_linear: bool = False,
+          kernel_jac: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -79,6 +81,15 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     every active node is a shooting node (HKDProblem.all_shooting())."""
     from hkdmpc_tpu.solver.model_api import hkd_model_spec
     model = model or hkd_model_spec()
+    if kernel_jac:
+        # in-kernel jacobians: A/B are never materialized — the backward
+        # rebuilds them from (X, U) inside the Pallas kernel (batched) or
+        # via the same shared entry formulas (unbatched), and the linear
+        # rollout must use jvp (assoc needs dense A/B)
+        assert getattr(model, "build_AB_tminor", None) is not None, \
+            "kernel_jac requires the HKD T-minor jacobian model"
+        assert not assoc_linear, "kernel_jac is incompatible with assoc_linear"
+        jvp_linear = True
     dtype = prob.xr.dtype
     ms, al_on, reb_on = bool(opt.MS), bool(opt.AL_active), bool(opt.ReB_active)
     eps_candidates = jnp.asarray(opt.line_search_epsilons, dtype)
@@ -152,11 +163,13 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         feas = ro_mod.dynamics_feasibility(prob, c["defect"])
 
         lqd = lq_mod.lq_approximation(prob, c["X"], c["U"], st.constr,
-                                      reb_on, al_on, model)
+                                      reb_on, al_on, model,
+                                      skip_ab=kernel_jac)
         dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \
             backward.backward_sweep_regularized(
                 prob, lqd, c["defect"], reg, opt.update_regularization,
-                last_node, aug_sweep, pallas_backward)
+                last_node, aug_sweep, pallas_backward,
+                kernel_jac_XU=(c["X"], c["U"]) if kernel_jac else None)
         st = _replace(st, dU=dU, K=K)
 
         if ms:
@@ -164,6 +177,9 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
                 from hkdmpc_tpu.ops.assoc import linear_rollout_assoc
                 dX, dv1, dv2 = linear_rollout_assoc(prob, st, lqd,
                                                     c["defect"], 1.0)
+            elif jvp_linear:
+                dX, dv1, dv2 = ro_mod.linear_rollout_jvp(
+                    prob, st, c["X"], c["U"], lqd, c["defect"], 1.0, model)
             else:
                 dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd,
                                                      c["defect"], 1.0)
@@ -291,20 +307,24 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward"))
+                     "aug_sweep", "pallas_backward", "jvp_linear",
+                     "kernel_jac"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes.
 # Only (prob, state) are vmapped; every flag is a keyword-defaulted static
 # threaded through a closure, so adding a new solve flag can never strand a
 # call site on a stale in_axes tuple again (round-1 regression).
 def _solve_batch(prob, state, opt, parallel_rollout=False, model=None,
-                 assoc_linear=False, aug_sweep=True, pallas_backward=False):
+                 assoc_linear=False, aug_sweep=True, pallas_backward=False,
+                 jvp_linear=False, kernel_jac=False):
     fn = lambda p, s: solve(p, s, opt, parallel_rollout, model, assoc_linear,
-                            aug_sweep, pallas_backward)
+                            aug_sweep, pallas_backward, jvp_linear,
+                            kernel_jac)
     return jax.vmap(fn)(prob, state)
 
 
 solve_batch = jax.jit(
     _solve_batch,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
-                     "aug_sweep", "pallas_backward"))
+                     "aug_sweep", "pallas_backward", "jvp_linear",
+                     "kernel_jac"))

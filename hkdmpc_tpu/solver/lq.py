@@ -29,14 +29,22 @@ from hkdmpc_tpu.solver.structs import DYN, RESET, LQData, ProblemData
 
 
 def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
-                     al_active: bool, model=None) -> LQData:
+                     al_active: bool, model=None,
+                     skip_ab: bool = False) -> LQData:
+    """skip_ab: don't build the (T, 24, 24) A/B jacobian tensors at all
+    (LQData.A/B come back None) — for the in-kernel-jacobian backward path
+    (ddp.solve(kernel_jac=True)), where the Pallas kernel rebuilds them
+    per step from (X, U) and the linear rollout uses jvp. Only valid with
+    a model that has the T-minor builder (the jacobians would otherwise be
+    interleaved into the generic per-transition switch)."""
     model = model or _default_model()
     dtype = X.dtype
 
     fast_ab = getattr(model, "build_AB_tminor", None)
     if fast_ab is not None:
         return _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model,
-                           fast_ab)
+                           fast_ab, skip_ab)
+    assert not skip_ab, "skip_ab requires a model with build_AB_tminor"
 
     def per_transition(t):
         x, u = X[t], U[t]
@@ -97,13 +105,14 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
                   phix=phix, phixx=phixx)
 
 
-def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab):
+def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab,
+                skip_ab=False):
     """LQ with the model's T-minor A/B builder (ops/jac_tminor.py): the
     dynamics/reset jacobians assemble horizon-minor in one pass; the cost
     partial stages stay per-transition vmaps with masks instead of a switch
     (numerically identical to the generic path; tested)."""
     dtype = X.dtype
-    A, B = fast_ab(prob, X, U)
+    A, B = (None, None) if skip_ab else fast_ab(prob, X, U)
     is_dyn = prob.is_dyn
 
     lux_zero = getattr(model, "lux_is_zero", False)

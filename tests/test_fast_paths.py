@@ -367,3 +367,105 @@ def test_f32_batch_final_cost_matches_f64_oracle():
 
     rel = np.abs(costs["f32"] - costs["f64"]) / np.abs(costs["f64"])
     assert rel.max() < 1e-4, rel
+
+
+def test_linear_rollout_jvp_matches_scan():
+    """linear_rollout_jvp (closed-form jacobian-vector products via jax.jvp
+    at the nominal trajectory, no materialized A/B) == linear_rollout (reads
+    lq.A/B) up to float reassociation, including a full-solve equivalence."""
+    import dataclasses
+
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    dU, K, *_ = backward.backward_sweep_regularized(
+        prob, lqd, ro.defect, 0.0, 4.0, last)
+    st = dataclasses.replace(state, dU=dU, K=K, Xbar=ro.X, Ubar=ro.U)
+
+    dX_a, dv1_a, dv2_a = ro_mod.linear_rollout(prob, st, lqd, ro.defect, 1.0)
+    dX_b, dv1_b, dv2_b = ro_mod.linear_rollout_jvp(
+        prob, st, ro.X, ro.U, lqd, ro.defect, 1.0)
+    np.testing.assert_allclose(dX_a, dX_b, atol=1e-9)
+    assert abs(float(dv1_a) - float(dv1_b)) < 1e-9
+    assert abs(float(dv2_a) - float(dv2_b)) < 1e-9
+
+    # full solve: same final cost/state to solver-decision accuracy
+    prob0, state0 = pb.build(jnp.asarray(prob.x0))
+    ra = ddp.solve_jit(prob0, state0, opt, True)
+    rb = ddp.solve_jit(prob0, state0, opt, True, jvp_linear=True)
+    np.testing.assert_allclose(ra.cost, rb.cost, rtol=1e-8)
+    np.testing.assert_allclose(ra.state.Ubar, rb.state.Ubar,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_solve_kernel_jac_equivalent_under_vmap():
+    """vmap(solve, kernel_jac=True) — jacobians rebuilt inside the Pallas
+    kernel from (X, U), A/B never materialized, jvp linear rollout — matches
+    the pallas_backward solve (f32, runtime caps; interpret mode on CPU)."""
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    f32 = lambda x: (jnp.asarray(x, jnp.float32)
+                     if isinstance(x, jnp.ndarray) and
+                     jnp.issubdtype(x.dtype, jnp.floating) else x)
+    prob = jax.tree_util.tree_map(f32, prob)
+    state = jax.tree_util.tree_map(f32, state)
+    opt = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, 4)
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(3)).x0)
+
+    res_a = ddp.solve_batch(prob_b, state_b, opt, True,
+                            pallas_backward=True)
+    res_b = ddp.solve_batch(prob_b, state_b, opt, True,
+                            kernel_jac=True)
+    np.testing.assert_allclose(res_a.cost, res_b.cost, rtol=1e-4)
+    np.testing.assert_allclose(res_a.dyn_feas, res_b.dyn_feas,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res_a.state.Ubar, res_b.state.Ubar,
+                               rtol=1e-3, atol=2e-3)
+    assert not bool(jnp.any(res_a.solve_failed))
+    assert not bool(jnp.any(res_b.solve_failed))
+
+
+def test_kernel_jac_backward_matches_scan():
+    """riccati_backward_hkd batched rule (in-kernel jacobians, interpret
+    mode) vs the faithful scan with XLA-built A/B on the same inputs."""
+    from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
+
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    f32 = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    lq32 = jax.tree_util.tree_map(f32, lqd)
+    X32, U32 = f32(ro.X), f32(ro.U)
+    d32 = f32(ro.defect)
+
+    B = 2
+    tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
+    regs = jnp.asarray([0.0, 0.05], jnp.float32)
+    dU, K, dv1, dv2, ok = backward_sweep_pallas_hkd(
+        tile(prob.kind), tile(X32), tile(U32),
+        tile(f32(prob.contact)), tile(f32(prob.contact_next)),
+        tile(lq32.lxx), tile(lq32.luu), tile(lq32.lx), tile(lq32.lu),
+        tile(d32), tile(lq32.phix), tile(lq32.phixx), regs,
+        jnp.full((B,), last, jnp.int32),
+        jnp.full((B,), jnp.float32(prob.dt)), interpret=True)
+
+    for i in range(B):
+        o = backward.backward_sweep(prob, lqd, ro.defect,
+                                    jnp.float64(regs[i]), last,
+                                    aug_sweep=True)
+        s = backward.backward_sweep(prob, lq32, d32, regs[i], last,
+                                    aug_sweep=True)
+        for got, oracle, scan_f32, name in [
+                (dU[i], o[0], s[0], "dU"), (K[i], o[1], s[1], "K"),
+                (dv1[i], o[4], s[4], "dv1"), (dv2[i], o[5], s[5], "dv2")]:
+            roundoff = float(jnp.max(jnp.abs(jnp.asarray(scan_f32, jnp.float64)
+                                             - oracle)))
+            err = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float64)
+                                        - oracle)))
+            assert err <= max(10.0 * roundoff, 1e-5), (name, err, roundoff)
