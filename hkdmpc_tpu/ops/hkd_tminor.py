@@ -390,3 +390,134 @@ def compute_cost_tbatch(prob, X, U, constr, reb_active: bool,
     total = total + jnp.sum(prob.term_mask * phi)
     g_all = g * row_mask + (1.0 - row_mask)
     return total, (g_all, h)
+
+
+def linear_dv_tbatch(prob, X, U, constr, dX, dU_full, last_node,
+                     reb_active: bool, al_active: bool):
+    """Expected-cost change (dV_1, dV_2) of the search direction, as direct
+    contractions of the Gauss-Newton cost partials with (dX, dU) — no
+    materialized lx/lu/lxx/luu/phix/phixx needed. Same GN forms (incl. the
+    reference quirks) as running_partials_tbatch / terminal_partials_tbatch,
+    so it matches the lq-based accumulation up to float reassociation.
+
+    dU_full (T, 24): eps*dU + K dX[:-1] (the per-transition control step).
+    Returns scalars (dv1, dv2) including the reset-source and final-node
+    terminal contributions (solver/rollout.linear_rollout semantics)."""
+    from hkdmpc_tpu.solver.costs import reb_derivs
+    from hkdmpc_tpu.solver.structs import DYN, RESET
+
+    dtype = X.dtype
+    Xn, xr, ur = X[:-1], prob.xr[:-1], prob.ur[:-1]
+    dXn = dX[:-1]
+    mdt = prob.is_dyn * prob.dt
+    c = [prob.contact[:, l] for l in range(4)]
+
+    dv1 = 0.0
+    dv2 = 0.0
+    # tracking state terms
+    for i in range(12):
+        e = Xn[:, i] - xr[:, i]
+        dv1 = dv1 + jnp.sum(mdt * _Q_BODY[i] * e * dXn[:, i])
+        dv2 = dv2 + jnp.sum(mdt * _Q_BODY[i] * dXn[:, i] * dXn[:, i])
+    for l in range(4):
+        w = W.Q_SWING_LEG * (1.0 - c[l])
+        for j in range(3):
+            i = 12 + 3 * l + j
+            e = Xn[:, i] - xr[:, i]
+            dv1 = dv1 + jnp.sum(mdt * w * e * dXn[:, i])
+            dv2 = dv2 + jnp.sum(mdt * w * dXn[:, i] * dXn[:, i])
+    # foot-placement regularization (rank-1 in (dx_i - dx_{3+j}))
+    for l in range(4):
+        Wl = [_WFOOT[0] * c[l], _WFOOT[1] * c[l]]
+        for j in range(2):
+            i = 12 + 3 * l + j
+            d = (Xn[:, i] - Xn[:, 3 + j]) - (prob.foot_r[:-1, 3 * l + j]
+                                             - xr[:, 3 + j])
+            dd = dXn[:, i] - dXn[:, 3 + j]
+            dv1 = dv1 + jnp.sum(mdt * Wl[j] * d * dd)
+            dv2 = dv2 + jnp.sum(mdt * Wl[j] * dd * dd)
+    # control tracking
+    for i in range(12):
+        e = U[:, i] - ur[:, i]
+        dv1 = dv1 + jnp.sum(mdt * W.R_GRF * e * dU_full[:, i])
+        dv2 = dv2 + jnp.sum(mdt * W.R_GRF * dU_full[:, i] * dU_full[:, i])
+    for i in range(12, 24):
+        e = U[:, i] - ur[:, i]
+        dv1 = dv1 + jnp.sum(mdt * W.R_QJD * e * dU_full[:, i])
+        dv2 = dv2 + jnp.sum(mdt * W.R_QJD * dU_full[:, i] * dU_full[:, i])
+    # ReB friction-cone barrier (rank-1 per cone row: gu_r . du)
+    if reb_active:
+        g, row_mask = grf_rows_tbatch(U, prob.contact)
+        d1, d2 = reb_derivs(g, constr.reb_delta, constr.reb_eps)
+        d1 = row_mask * d1
+        d2 = row_mask * d2
+        for l in range(4):
+            r0 = 5 * l
+            dux = dU_full[:, 3 * l]
+            duy = dU_full[:, 3 * l + 1]
+            duz = dU_full[:, 3 * l + 2]
+            gdu = [duz, -dux + _MU * duz, dux + _MU * duz,
+                   -duy + _MU * duz, duy + _MU * duz]
+            for k in range(5):
+                dv1 = dv1 + jnp.sum(mdt * d1[:, r0 + k] * gdu[k])
+                dv2 = dv2 + jnp.sum(mdt * d2[:, r0 + k] * gdu[k] * gdu[k])
+
+    # ---- terminal contributions: reset-source nodes + the final node -----
+    rst_m = (prob.kind == RESET).astype(dtype)
+    node_sel = jnp.zeros(prob.T + 1, dtype).at[:prob.T].set(rst_m)
+    node_sel = node_sel.at[last_node].add(1.0)
+    sel = node_sel * prob.term_mask     # phi partials carry the term mask
+    xr_n = prob.xr
+    tc = [prob.term_contact[:, l] for l in range(4)]
+
+    t1 = 0.0
+    t2 = 0.0
+    for i in range(12):
+        qf = W.QF_MULT * _QF_SCALE_BODY[i] * _Q_BODY[i]
+        e = X[:, i] - xr_n[:, i]
+        t1 = t1 + jnp.sum(sel * qf * e * dX[:, i])
+        t2 = t2 + jnp.sum(sel * qf * dX[:, i] * dX[:, i])
+    for l in range(4):
+        w = _QF_LEG * (1.0 - tc[l])
+        for j in range(3):
+            i = 12 + 3 * l + j
+            e = X[:, i] - xr_n[:, i]
+            t1 = t1 + jnp.sum(sel * w * e * dX[:, i])
+            t2 = t2 + jnp.sum(sel * w * dX[:, i] * dX[:, i])
+    tf2 = 2.0 * _TFOOT
+    for l in range(4):
+        Wl = [_WFOOT[0] * tc[l], _WFOOT[1] * tc[l]]
+        for j in range(2):
+            i = 12 + 3 * l + j
+            d = (X[:, i] - X[:, 3 + j]) - (prob.foot_r[:, 3 * l + j]
+                                           - xr_n[:, 3 + j])
+            dd = dX[:, i] - dX[:, 3 + j]
+            t1 = t1 + jnp.sum(sel * tf2 * Wl[j] * d * dd)
+            t2 = t2 + jnp.sum(sel * tf2 * Wl[j] * dd * dd)
+    if al_active:
+        p = _body_pieces(X)
+        Tn = prob.T + 1
+        for l in range(4):
+            mask = sel * prob.td_mask[:, l]
+            pf = _foot_world_entries(p, l)
+            h = pf[2]
+            sig = constr.al_sigma[:, l]
+            lam = constr.al_lambda[:, l]
+            w1 = mask * (sig * h + lam)
+            w2 = mask * (sig * (1.0 + h) + lam)
+            p_leg, J_leg = _leg_fk_entries(p["qd"][l], l)
+            hip = _HIP[l]
+            pfull = [p_leg[k] + hip[k] for k in range(3)]
+            # hx . dX contraction over the sparse hx columns
+            hdx = 0.0
+            for ang in range(3):
+                col = sum(p["dR"][ang][2][k] * pfull[k] for k in range(3))
+                hdx = hdx + col * dX[:, ang]
+            hdx = hdx + dX[:, 5]
+            for j in range(3):
+                col = sum(p["R"][2][k] * J_leg[k][j] for k in range(3))
+                hdx = hdx + col * dX[:, 12 + 3 * l + j]
+            t1 = t1 + jnp.sum(w1 * hdx)
+            t2 = t2 + jnp.sum(w2 * hdx * hdx)
+
+    return dv1 + t1, dv2 + t2

@@ -179,7 +179,9 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
                                                     c["defect"], 1.0)
             elif jvp_linear:
                 dX, dv1, dv2 = ro_mod.linear_rollout_jvp(
-                    prob, st, c["X"], c["U"], lqd, c["defect"], 1.0, model)
+                    prob, st, c["X"], c["U"], lqd, c["defect"], 1.0, model,
+                    use_closed_dv=kernel_jac, reb_active=reb_on,
+                    al_active=al_on)
             else:
                 dX, dv1, dv2 = ro_mod.linear_rollout(prob, st, lqd,
                                                      c["defect"], 1.0)

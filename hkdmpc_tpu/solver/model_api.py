@@ -332,6 +332,9 @@ def hkd_model_spec(swing_constraint: bool = False) -> ModelSpec:
         spec.compute_cost_tbatch = hkd_tminor.compute_cost_tbatch
         spec.running_partials_tbatch = hkd_tminor.running_partials_tbatch
         spec.terminal_partials_tbatch = hkd_tminor.terminal_partials_tbatch
+        # expected-cost change as direct GN contractions (kernel_jac's
+        # linear rollout — no materialized partial arrays)
+        spec.linear_dv_tbatch = hkd_tminor.linear_dv_tbatch
     if not swing_constraint:
         _DEFAULT = spec
     return spec

@@ -274,7 +274,9 @@ def linear_rollout(prob: ProblemData, state: SolverState, lq: LQData,
 
 
 def linear_rollout_jvp(prob: ProblemData, state: SolverState, X, U,
-                       lq: LQData, defect, eps, model=None) -> tuple:
+                       lq: LQData, defect, eps, model=None,
+                       use_closed_dv: bool = False, reb_active: bool = True,
+                       al_active: bool = True) -> tuple:
     """linear_rollout that propagates dx through exact closed-form
     jacobian-vector products (jax.jvp of the model dynamics / reset map at
     the nominal (X, U)) instead of reading the materialized (T, 24, 24)
@@ -286,9 +288,37 @@ def linear_rollout_jvp(prob: ProblemData, state: SolverState, X, U,
     Expected-cost terms still come from the lq partials."""
     model = model or _default_model()
     last = last_active_node(prob)
-    dtype = lq.lx.dtype
+    dtype = lq.lx.dtype if lq.lx is not None else X.dtype
     eps = jnp.asarray(eps, dtype)
     dx0 = eps * defect[0]
+
+    dv_fast = getattr(model, "linear_dv_tbatch", None)
+    if use_closed_dv and dv_fast is not None:
+        # dX-only scan, then the expected-cost change as direct GN
+        # contractions (no lx/lu/lxx/luu/phix/phixx arrays touched)
+        def step_dx(carry, t):
+            dx = carry
+            kind = prob.kind[t]
+            x, u = X[t], U[t]
+            du = eps * state.dU[t] + precise.mv(state.K[t], dx)
+            _, jd = jax.jvp(
+                lambda xx, uu: model.dynamics(xx, uu, prob.contact[t],
+                                              prob.dt), (x, u), (dx, du))
+            _, jr = jax.jvp(
+                lambda xx: model.reset_map(xx, prob.contact[t],
+                                           prob.contact_next[t]),
+                (x,), (dx,))
+            dx_next = jnp.where(kind == DYN, jd + eps * defect[t + 1],
+                                jnp.where(kind == RESET,
+                                          jr + eps * defect[t + 1], dx))
+            return dx_next, dx_next
+
+        _, dX_rest = lax.scan(step_dx, dx0, jnp.arange(prob.T))
+        dX = jnp.concatenate([dx0[None], dX_rest], axis=0)
+        dU_full = eps * state.dU + precise.mv(state.K, dX[:-1])
+        dv1, dv2 = dv_fast(prob, X, U, state.constr, dX, dU_full, last,
+                           reb_active, al_active)
+        return dX, dv1, dv2
 
     def step(carry, t):
         dx = carry

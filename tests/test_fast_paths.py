@@ -469,3 +469,28 @@ def test_kernel_jac_backward_matches_scan():
             err = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float64)
                                         - oracle)))
             assert err <= max(10.0 * roundoff, 1e-5), (name, err, roundoff)
+
+
+def test_linear_dv_closed_matches_lq():
+    """Closed-form expected-cost quadform (ops/hkd_tminor.linear_dv_tbatch,
+    no materialized partial arrays) == the lq-contraction dv terms, incl.
+    the ReB cone and AL touchdown (GN forms with the reference quirks)."""
+    import dataclasses
+
+    pb, prob, state, opt = _solved_state()
+    ro = ro_mod.hybrid_rollout(prob, state, 0.0, True)
+    lqd = lq_mod.lq_approximation(prob, ro.X, ro.U, state.constr, True, True)
+    last = ro_mod.last_active_node(prob)
+    dU, K, *_ = backward.backward_sweep_regularized(
+        prob, lqd, ro.defect, 0.0, 4.0, last)
+    st = dataclasses.replace(state, dU=dU, K=K, Xbar=ro.X, Ubar=ro.U)
+
+    dX_a, dv1_a, dv2_a = ro_mod.linear_rollout_jvp(
+        prob, st, ro.X, ro.U, lqd, ro.defect, 1.0)
+    dX_b, dv1_b, dv2_b = ro_mod.linear_rollout_jvp(
+        prob, st, ro.X, ro.U, lqd, ro.defect, 1.0, use_closed_dv=True)
+    np.testing.assert_allclose(dX_a, dX_b, atol=1e-12)
+    assert abs(float(dv1_a) - float(dv1_b)) < 1e-8, (dv1_a, dv1_b)
+    assert abs(float(dv2_a) - float(dv2_b)) < 1e-8, (dv2_a, dv2_b)
+    # the AL part is actually exercised on this problem
+    assert float(jnp.sum(prob.td_mask)) > 0
