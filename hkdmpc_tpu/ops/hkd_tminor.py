@@ -209,19 +209,13 @@ def _assemble_mat(entries: dict, T, dtype, n=24):
     return _assemble(entries, T, dtype, n)
 
 
-def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
-    """(lx, lu, lxx, luu, lux) for all transitions — closed-form entries of
-    the HKD tracking + foot-reg costs and the GRF ReB barrier, horizon-minor.
-    Rows for RESET/PAD transitions are zeroed by the is_dyn mask."""
-    from hkdmpc_tpu.solver.costs import reb_derivs
-
-    dtype = X.dtype
-    T = prob.T
-    Xn, xr, ur = X[:-1], prob.xr[:-1], prob.ur[:-1]
-    dt = prob.dt
-    mdt = prob.is_dyn * dt
-    c = [prob.contact[:, l] for l in range(4)]
-
+def running_partial_entries(xn_cols, u_cols, xr_cols, ur_cols, fr_cols,
+                            c, mdt, d1=None, d2=None):
+    """GN running-cost partial entries as dicts — lx/lu keyed by index i,
+    lxx/luu by (i, j) — over column vectors of any trailing shape ((T,) in
+    the XLA T-minor builder, (BB,) inside the Pallas kernel; single
+    definition site so the paths cannot drift). mdt = is_dyn*dt vector;
+    d1/d2: optional row-masked ReB barrier derivative rows (20 vecs)."""
     lx: dict = {}
     lxx: dict = {}
     lu: dict = {}
@@ -232,13 +226,13 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
 
     # tracking state terms
     for i in range(12):
-        acc(lx, i, mdt * _Q_BODY[i] * (Xn[:, i] - xr[:, i]))
+        acc(lx, i, mdt * _Q_BODY[i] * (xn_cols[i] - xr_cols[i]))
         acc(lxx, (i, i), mdt * _Q_BODY[i])
     for l in range(4):
         w = W.Q_SWING_LEG * (1.0 - c[l])
         for j in range(3):
             i = 12 + 3 * l + j
-            acc(lx, i, mdt * w * (Xn[:, i] - xr[:, i]))
+            acc(lx, i, mdt * w * (xn_cols[i] - xr_cols[i]))
             acc(lxx, (i, i), mdt * w)
 
     # foot-placement regularization (weights 20*(3c, c, 0) per leg)
@@ -246,8 +240,8 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
         Wl = [_WFOOT[0] * c[l], _WFOOT[1] * c[l]]
         for j in range(2):
             i = 12 + 3 * l + j
-            d = (Xn[:, i] - Xn[:, 3 + j]) - (prob.foot_r[:-1, 3 * l + j]
-                                             - xr[:, 3 + j])
+            d = (xn_cols[i] - xn_cols[3 + j]) - (fr_cols[3 * l + j]
+                                                 - xr_cols[3 + j])
             acc(lx, i, mdt * Wl[j] * d)
             acc(lx, 3 + j, -mdt * Wl[j] * d)
             acc(lxx, (i, i), mdt * Wl[j])
@@ -257,22 +251,18 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
 
     # control tracking
     for i in range(12):
-        acc(lu, i, mdt * W.R_GRF * (U[:, i] - ur[:, i]))
+        acc(lu, i, mdt * W.R_GRF * (u_cols[i] - ur_cols[i]))
         acc(luu, (i, i), mdt * W.R_GRF)
     for i in range(12, 24):
-        acc(lu, i, mdt * W.R_QJD * (U[:, i] - ur[:, i]))
+        acc(lu, i, mdt * W.R_QJD * (u_cols[i] - ur_cols[i]))
         acc(luu, (i, i), mdt * W.R_QJD)
 
-    if reb_active:
-        g, row_mask = grf_rows_tbatch(U, prob.contact)
-        d1, d2 = reb_derivs(g, constr.reb_delta, constr.reb_eps)
-        d1 = row_mask * d1
-        d2 = row_mask * d2
+    if d1 is not None:
         mu = _MU
         for l in range(4):
             r0 = 5 * l
-            D = [d1[:, r0 + k] for k in range(5)]
-            H = [d2[:, r0 + k] for k in range(5)]
+            D = [d1[r0 + k] for k in range(5)]
+            H = [d2[r0 + k] for k in range(5)]
             ux, uy, uz = 3 * l, 3 * l + 1, 3 * l + 2
             acc(lu, ux, mdt * (-D[1] + D[2]))
             acc(lu, uy, mdt * (-D[3] + D[4]))
@@ -287,6 +277,35 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
             acc(luu, (uz, ux), hxz)
             acc(luu, (uy, uz), hyz)
             acc(luu, (uz, uy), hyz)
+
+    return lx, lu, lxx, luu
+
+
+def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
+    """(lx, lu, lxx, luu, lux) for all transitions — closed-form entries of
+    the HKD tracking + foot-reg costs and the GRF ReB barrier, horizon-minor.
+    Rows for RESET/PAD transitions are zeroed by the is_dyn mask."""
+    from hkdmpc_tpu.solver.costs import reb_derivs
+
+    dtype = X.dtype
+    T = prob.T
+    Xn, xr, ur = X[:-1], prob.xr[:-1], prob.ur[:-1]
+    mdt = prob.is_dyn * prob.dt
+    c = [prob.contact[:, l] for l in range(4)]
+
+    d1c = d2c = None
+    if reb_active:
+        g, row_mask = grf_rows_tbatch(U, prob.contact)
+        d1, d2 = reb_derivs(g, constr.reb_delta, constr.reb_eps)
+        d1 = row_mask * d1
+        d2 = row_mask * d2
+        d1c = [d1[:, r] for r in range(20)]
+        d2c = [d2[:, r] for r in range(20)]
+
+    lx, lu, lxx, luu = running_partial_entries(
+        [Xn[:, i] for i in range(24)], [U[:, i] for i in range(24)],
+        [xr[:, i] for i in range(24)], [ur[:, i] for i in range(24)],
+        [prob.foot_r[:-1, i] for i in range(12)], c, mdt, d1c, d2c)
 
     return (_assemble_vec(lx, T, dtype), _assemble_vec(lu, T, dtype),
             _assemble_mat(lxx, T, dtype), _assemble_mat(luu, T, dtype),

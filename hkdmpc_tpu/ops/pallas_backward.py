@@ -308,13 +308,31 @@ def _sparse_pre_vec(g, ed):
     return jnp.stack([rv if rv is not None else zero for rv in rows], axis=0)
 
 
-def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, lxx_ref, luu_ref, lx_ref,
-                lu_ref, dnext_ref, phix_t_ref, phixx_t_ref, phix_n_ref,
-                phixx_n_ref, isdyn_ref, isrst_ref, islast_ref, reg_ref,
-                dt_ref,
+def _entries_add(M, entries):
+    """M (24, 24, BB) + sparse entries {(i, j): (BB,)} via row accumulation."""
+    rows = [M[i] for i in range(24)]
+    for (i, j), v in entries.items():
+        e = (jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0) == j
+             ).astype(jnp.float32)
+        rows[i] = rows[i] + e * v
+    return jnp.stack(rows, axis=0)
+
+
+def _vec_from_entries(entries, like):
+    """(24, BB) vector from sparse entries {i: (BB,)}."""
+    zero = jnp.zeros_like(like)
+    return jnp.stack([entries.get(i, zero) for i in range(24)], axis=0)
+
+
+def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
+                rbd_ref, rbe_ref, dnext_ref, phix_t_ref, phixx_t_ref,
+                phix_n_ref, phixx_n_ref, isdyn_ref, isrst_ref, islast_ref,
+                reg_ref, dt_ref,
                 K_ref, dU_ref, dv1_ref, dv2_ref, ok_ref,
                 G_s, H_s, dv1_s, dv2_s, ok_s, W_s):
+    from hkdmpc_tpu.ops.hkd_tminor import _MU, running_partial_entries
     from hkdmpc_tpu.ops.jac_tminor import dyn_jac_entries, reset_jac_entries
+    from hkdmpc_tpu.solver.costs import reb_derivs
 
     ti = pl.program_id(1)
 
@@ -349,6 +367,28 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, lxx_ref, luu_ref, lx_ref,
     edA = {k: dtv * v for k, v in dynA.items()}
     edB = {k: dtv * v for k, v in dynB.items()}
 
+    # ---- running cost partials, in-kernel (was: lxx/luu/lx/lu slabs) -----
+    xr = xr_ref[0]               # (24, BB) reference at the source node
+    ur = ur_ref[0]
+    fr = fr_ref[0]               # (12, BB)
+    rbd = rbd_ref[0]             # (20, BB) ReB delta rows
+    rbe = rbe_ref[0]             # (20, BB) ReB eps rows (zeros = ReB off)
+    mdt = is_dyn * dtv
+    d1c, d2c = [], []
+    for l in range(4):
+        fx, fy, fz = ucols[3 * l], ucols[3 * l + 1], ucols[3 * l + 2]
+        grows = [fz, -fx + _MU * fz, fx + _MU * fz, -fy + _MU * fz,
+                 fy + _MU * fz]
+        for k in range(5):
+            r = 5 * l + k
+            a1, a2 = reb_derivs(grows[k], rbd[r], rbe[r])
+            d1c.append(cc[l] * a1)
+            d2c.append(cc[l] * a2)
+    lx_e, lu_e, lxx_e, luu_e = running_partial_entries(
+        xcols, ucols, [xr[i] for i in range(24)],
+        [ur[i] for i in range(24)], [fr[i] for i in range(12)],
+        cc, mdt, d1c, d2c)
+
     H = H_s[...] + is_last[None, None, :] * phixx_n_ref[0]
     G = G_s[...] + is_last[None, :] * phix_n_ref[0]
     dnext = dnext_ref[0]
@@ -367,11 +407,11 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, lxx_ref, luu_ref, lx_ref,
     jj = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 1)
     eye24 = (ii == jj).astype(jnp.float32)[:, :, None]
 
-    Qx = lx_ref[0] + AtGn
-    Qu = lu_ref[0] + BtGn
-    Qxx = lxx_ref[0] + AtHA + reg[None, None, :] * eye24
+    Qx = _vec_from_entries(lx_e, z) + AtGn
+    Qu = _vec_from_entries(lu_e, z) + BtGn
+    Qxx = _entries_add(AtHA, lxx_e) + reg[None, None, :] * eye24
     Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
-    Quu = luu_ref[0] + BtHB + reg[None, None, :] * eye24
+    Quu = _entries_add(BtHB, luu_e) + reg[None, None, :] * eye24
 
     # ---- split sweep on the (24, 49) tableau [Quu | Qux | Qu] ------------
     W_s[...] = jnp.zeros_like(W_s)
@@ -430,13 +470,16 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, lxx_ref, luu_ref, lx_ref,
 
 
 def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
-                              lxx, luu, lx, lu, defect, phix, phixx,
+                              xr, ur, foot_r, reb_delta, reb_eps,
+                              defect, phix, phixx,
                               reg, last_node_b, dt, interpret=False):
-    """Explicit-batch backward sweep with IN-KERNEL HKD jacobians.
+    """Explicit-batch backward sweep with IN-KERNEL HKD jacobians AND
+    running-cost partials.
 
-    kind_b (Bt, T) int32; X (Bt, T+1, 24); U (Bt, T, 24); contact /
-    contact_next (Bt, T, 4); cost partials as in backward_sweep_pallas;
-    dt scalar. Returns (dU, K, dv1, dv2, ok)."""
+    kind_b (Bt, T) int32; X/xr (Bt, T+1, 24); U/ur (Bt, T(+1), 24);
+    contact / contact_next (Bt, T, 4); foot_r (Bt, T+1, 12); reb rows
+    (Bt, T, 20) — pass reb_eps = zeros to disable the ReB barrier;
+    dt scalar or (Bt,). Returns (dU, K, dv1, dv2, ok)."""
     Bt, T = kind_b.shape
     Bp = ((Bt + BB - 1) // BB) * BB
     pad = Bp - Bt
@@ -451,8 +494,11 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
     U_m = bm(U)
     c_m = bm(contact)
     cn_m = bm(contact_next)
-    lxx_m, luu_m = bm(lxx), bm(luu)
-    lx_m, lu_m = bm(lx), bm(lu)
+    xr_m = bm(xr[:, :-1])
+    ur_m = bm(ur[:, :T])
+    fr_m = bm(foot_r[:, :-1])
+    rbd_m = bm(reb_delta)
+    rbe_m = bm(reb_eps)
     d_m = bm(defect)
     phix_m = bm(phix)
     phixx_m = bm(phixx)
@@ -486,10 +532,11 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
             pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # U
             pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # c
             pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # cn
-            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # lx
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # lu
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # xr
+            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # ur
+            pl.BlockSpec((1, 12, BB), rev3, memory_space=pltpu.VMEM),  # fr
+            pl.BlockSpec((1, 20, BB), rev3, memory_space=pltpu.VMEM),  # rbd
+            pl.BlockSpec((1, 20, BB), rev3, memory_space=pltpu.VMEM),  # rbe
             pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),  # dnext
             pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # phix_t
             pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
@@ -529,8 +576,8 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(X_m, U_m, c_m, cn_m, lxx_m, luu_m, lx_m, lu_m, d_m, phix_m, phixx_m,
-      phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
+    )(X_m, U_m, c_m, cn_m, xr_m, ur_m, fr_m, rbd_m, rbe_m, d_m, phix_m,
+      phixx_m, phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
 
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]

@@ -233,14 +233,17 @@ class _ProbView:
 
 
 @_custom_vmap
-def riccati_backward_hkd(kind, X, U, contact, contact_next, lxx, luu, lx, lu,
-                         defect, phix, phixx, reg, last_node, dt):
+def riccati_backward_hkd(kind, X, U, contact, contact_next, xr, ur, foot_r,
+                         reb_delta, reb_eps, defect, phix, phixx, reg,
+                         last_node, dt):
     """Array-interface backward sweep for the default HKD model with the
-    jacobians built from (X, U) instead of passed in: the batched rule runs
-    the in-kernel-jacobian Pallas kernel (ops/pallas_backward._kernel_hkd);
-    the unbatched rule builds A/B via the SAME entry formulas
-    (ops/jac_tminor) and runs the faithful scan. Returns
-    (dU, K, dv1, dv2, ok)."""
+    jacobians AND running-cost partials built from (X, U, references)
+    instead of passed in: the batched rule runs the in-kernel Pallas kernel
+    (ops/pallas_backward._kernel_hkd); the unbatched rule builds A/B and
+    the partials via the SAME entry formulas (ops/jac_tminor +
+    ops/hkd_tminor) and runs the faithful scan. Pass reb_eps = zeros to
+    disable the ReB barrier terms. Returns (dU, K, dv1, dv2, ok)."""
+    from hkdmpc_tpu.ops.hkd_tminor import running_partials_tbatch
     from hkdmpc_tpu.ops.jac_tminor import build_AB_tminor
 
     p = _ProbView()
@@ -249,7 +252,19 @@ def riccati_backward_hkd(kind, X, U, contact, contact_next, lxx, luu, lx, lu,
     p.contact = contact
     p.contact_next = contact_next
     p.dt = dt
+    p.is_dyn = (kind == DYN).astype(X.dtype)
+    p.xr = xr
+    p.ur = ur
+    p.foot_r = foot_r
     A, B = build_AB_tminor(p, X, U)
+
+    class _C:
+        pass
+    c = _C()
+    c.reb_delta = reb_delta
+    c.reb_eps = reb_eps
+    lx, lu, lxx, luu, _ = running_partials_tbatch(p, X, U, c,
+                                                  reb_active=True)
     lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
                 phix=phix, phixx=phixx)
     dU, K, G0, H0, dv1, dv2, ok = backward_sweep(p, lq, defect, reg,
@@ -259,8 +274,9 @@ def riccati_backward_hkd(kind, X, U, contact, contact_next, lxx, luu, lx, lu,
 
 @riccati_backward_hkd.def_vmap
 def _riccati_backward_hkd_batched(axis_size, in_batched, kind, X, U, contact,
-                                  contact_next, lxx, luu, lx, lu, defect,
-                                  phix, phixx, reg, last_node, dt):
+                                  contact_next, xr, ur, foot_r, reb_delta,
+                                  reb_eps, defect, phix, phixx, reg,
+                                  last_node, dt):
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
 
     backend = jax.default_backend()
@@ -270,27 +286,25 @@ def _riccati_backward_hkd_batched(axis_size, in_batched, kind, X, U, contact,
             return riccati_backward_hkd.fun(*args)
         in_axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(unbatched, in_axes=in_axes)(
-            kind, X, U, contact, contact_next, lxx, luu, lx, lu, defect,
-            phix, phixx, reg, last_node, dt)
+            kind, X, U, contact, contact_next, xr, ur, foot_r, reb_delta,
+            reb_eps, defect, phix, phixx, reg, last_node, dt)
         return out, (True, True, True, True, True)
 
     def bc(x, b):
         return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-    names = (kind, X, U, contact, contact_next, lxx, luu, lx, lu, defect,
-             phix, phixx, last_node)
-    bflags = (in_batched[0], in_batched[1], in_batched[2], in_batched[3],
-              in_batched[4], in_batched[5], in_batched[6], in_batched[7],
-              in_batched[8], in_batched[9], in_batched[10], in_batched[11],
-              in_batched[13])
+    names = (kind, X, U, contact, contact_next, xr, ur, foot_r, reb_delta,
+             reb_eps, defect, phix, phixx, last_node)
+    bflags = tuple(in_batched[i] for i in
+                   (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14))
     args = [bc(a, b) for a, b in zip(names, bflags)]
-    reg_v = reg if in_batched[12] else jnp.broadcast_to(reg, (axis_size,))
-    dt_v = dt if in_batched[14] else jnp.broadcast_to(dt, (axis_size,))
+    reg_v = reg if in_batched[13] else jnp.broadcast_to(reg, (axis_size,))
+    dt_v = dt if in_batched[15] else jnp.broadcast_to(dt, (axis_size,))
     interpret = backend == "cpu"
     out = backward_sweep_pallas_hkd(
         args[0], args[1], args[2], args[3], args[4], args[5], args[6],
-        args[7], args[8], args[9], args[10], args[11], reg_v, args[12], dt_v,
-        interpret=interpret)
+        args[7], args[8], args[9], args[10], args[11], args[12], reg_v,
+        args[13], dt_v, interpret=interpret)
     return out, (True, True, True, True, True)
 
 
@@ -306,11 +320,12 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
     reg_out is the post-success relaxation reg/20 (zeroed below 1e-6),
     parity: MultiPhaseDDP.cpp:141-181.
 
-    kernel_jac_XU: optional (X, U) nominal trajectories — when given (and
-    the model is the default 24-dim HKD), the jacobians are built INSIDE the
-    sweep from (X, U) via riccati_backward_hkd and lq.A/lq.B are never read
-    (they may be None; see lq_approximation(skip_ab=True))."""
-    dtype = lq.lx.dtype
+    kernel_jac_XU: optional (X, U, reb_delta, reb_eps) — when given (and
+    the model is the default 24-dim HKD), the jacobians AND running-cost
+    partials are built INSIDE the sweep via riccati_backward_hkd;
+    lq.A/B/lx/lu/lxx/luu are never read (they may be None; see
+    lq_approximation skip flags). reb_eps zeros disables the barrier."""
+    dtype = defect.dtype
 
     def cond(carry):
         reg, out, ok, failed = carry
@@ -319,11 +334,11 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
     def body(carry):
         reg, out, ok, failed = carry
         if kernel_jac_XU is not None:
-            X, U = kernel_jac_XU
+            X, U, rbd, rbe = kernel_jac_XU
             dU, K, dv1, dv2, ok_new = riccati_backward_hkd(
                 prob.kind, X, U, prob.contact, prob.contact_next,
-                lq.lxx, lq.luu, lq.lx, lq.lu, defect, lq.phix, lq.phixx,
-                reg, last_node, prob.dt)
+                prob.xr, prob.ur, prob.foot_r, rbd, rbe,
+                defect, lq.phix, lq.phixx, reg, last_node, prob.dt)
         elif use_pallas:
             dU, K, dv1, dv2, ok_new = riccati_backward(
                 prob.kind, lq.A, lq.B, lq.lxx, lq.luu, lq.lx, lq.lu,
@@ -337,7 +352,8 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
         return reg_new, (dU, K, dv1, dv2), ok_new, failed_new
 
     T = prob.T
-    nx, nu = lq.lx.shape[-1], lq.lu.shape[-1]
+    nx = lq.phix.shape[-1]
+    nu = lq.lu.shape[-1] if lq.lu is not None else nx
     dummy = (jnp.zeros((T, nu), dtype), jnp.zeros((T, nu, nx), dtype),
              jnp.zeros((), dtype), jnp.zeros((), dtype))
     carry = (jnp.asarray(regularization, dtype), dummy, jnp.array(False),

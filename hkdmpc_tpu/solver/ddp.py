@@ -164,12 +164,19 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
 
         lqd = lq_mod.lq_approximation(prob, c["X"], c["U"], st.constr,
                                       reb_on, al_on, model,
-                                      skip_ab=kernel_jac)
+                                      skip_ab=kernel_jac,
+                                      skip_partials=kernel_jac)
+        if kernel_jac:
+            rbe = (st.constr.reb_eps if reb_on
+                   else jnp.zeros_like(st.constr.reb_eps))
+            kj_ctx = (c["X"], c["U"], st.constr.reb_delta, rbe)
+        else:
+            kj_ctx = None
         dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \
             backward.backward_sweep_regularized(
                 prob, lqd, c["defect"], reg, opt.update_regularization,
                 last_node, aug_sweep, pallas_backward,
-                kernel_jac_XU=(c["X"], c["U"]) if kernel_jac else None)
+                kernel_jac_XU=kj_ctx)
         st = _replace(st, dU=dU, K=K)
 
         if ms:

@@ -30,7 +30,8 @@ from hkdmpc_tpu.solver.structs import DYN, RESET, LQData, ProblemData
 
 def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
                      al_active: bool, model=None,
-                     skip_ab: bool = False) -> LQData:
+                     skip_ab: bool = False,
+                     skip_partials: bool = False) -> LQData:
     """skip_ab: don't build the (T, 24, 24) A/B jacobian tensors at all
     (LQData.A/B come back None) — for the in-kernel-jacobian backward path
     (ddp.solve(kernel_jac=True)), where the Pallas kernel rebuilds them
@@ -43,8 +44,9 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
     fast_ab = getattr(model, "build_AB_tminor", None)
     if fast_ab is not None:
         return _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model,
-                           fast_ab, skip_ab)
-    assert not skip_ab, "skip_ab requires a model with build_AB_tminor"
+                           fast_ab, skip_ab, skip_partials)
+    assert not (skip_ab or skip_partials), \
+        "skip flags require a model with build_AB_tminor"
 
     def per_transition(t):
         x, u = X[t], U[t]
@@ -106,7 +108,7 @@ def lq_approximation(prob: ProblemData, X, U, constr, reb_active: bool,
 
 
 def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab,
-                skip_ab=False):
+                skip_ab=False, skip_partials=False):
     """LQ with the model's T-minor A/B builder (ops/jac_tminor.py): the
     dynamics/reset jacobians assemble horizon-minor in one pass; the cost
     partial stages stay per-transition vmaps with masks instead of a switch
@@ -120,6 +122,13 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab,
     run_fast = getattr(model, "running_partials_tbatch", None)
     term_fast = getattr(model, "terminal_partials_tbatch", None)
     if run_fast is not None and term_fast is not None:
+        if skip_partials:
+            # running partials are rebuilt inside the backward kernel
+            # (ddp.solve(kernel_jac=True)); only the terminal partials are
+            # materialized (the kernel's reset/last-node seeds)
+            phix, phixx = term_fast(prob, X, constr, al_active)
+            return LQData(A=A, B=B, lx=None, lu=None, lxx=None, luu=None,
+                          lux=None, phix=phix, phixx=phixx)
         lx, lu, lxx, luu, lux = run_fast(prob, X, U, constr, reb_active)
         phix, phixx = term_fast(prob, X, constr, al_active)
         return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu,

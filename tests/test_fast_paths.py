@@ -450,7 +450,8 @@ def test_kernel_jac_backward_matches_scan():
     dU, K, dv1, dv2, ok = backward_sweep_pallas_hkd(
         tile(prob.kind), tile(X32), tile(U32),
         tile(f32(prob.contact)), tile(f32(prob.contact_next)),
-        tile(lq32.lxx), tile(lq32.luu), tile(lq32.lx), tile(lq32.lu),
+        tile(f32(prob.xr)), tile(f32(prob.ur)), tile(f32(prob.foot_r)),
+        tile(f32(state.constr.reb_delta)), tile(f32(state.constr.reb_eps)),
         tile(d32), tile(lq32.phix), tile(lq32.phixx), regs,
         jnp.full((B,), last, jnp.int32),
         jnp.full((B,), jnp.float32(prob.dt)), interpret=True)
