@@ -413,32 +413,41 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
     Quu = _entries_add(BtHB, luu_e) + reg[None, None, :] * eye24
 
-    # ---- split sweep on the (24, 49) tableau [Quu | Qux | Qu] ------------
+    # ---- forward elimination + back-substitution on [Quu | Qux | Qu] -----
+    # Gaussian elimination touches only the rows BELOW each pivot (the
+    # Gauss-Jordan sweep it replaced updated all 24 every time), and the
+    # 25 RHS columns are recovered by back-substitution — about half the
+    # serially-dependent work. Pivot values (and thus the PSD gate) are
+    # bit-identical to the Jordan sweep: both apply the same row-k update
+    # from each earlier pivot.
     W_s[...] = jnp.zeros_like(W_s)
     W_s[:, 0:24, :] = Quu
     W_s[:, 24:48, :] = Qux
     W_s[:, 48, :] = Qu
 
     ok = jnp.ones((BB,), jnp.float32)
-    e24_all = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0)
-    e49_all = jax.lax.broadcasted_iota(jnp.int32, (NS, 1), 0)
     for k in range(24):
-        W = W_s[...]
-        row = W[k]
-        col = W[:, k]
+        row = W_s[k]                  # (49, BB)
         d = row[k]
         ok = ok * (d > 1e-9).astype(jnp.float32)
         d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
-        e24 = (e24_all == k).astype(jnp.float32)
-        e49 = (e49_all == k).astype(jnp.float32)
-        cme = col - e24
-        rme = (row - e49) / d_safe[None, :]
-        W_s[...] = (W - cme[:, None, :] * rme[None, :, :]
-                    - 2.0 * (e24[:, None, :] * e49[None, :, :]))
+        if k < 23:
+            below = W_s[k + 1:24]     # (23-k, 49, BB)
+            fac = below[:, k, :] / d_safe[None, :]
+            W_s[k + 1:24] = below - fac[:, None, :] * row[None, :, :]
 
     W = W_s[...]
-    Sw = W[:, 24:48, :]
-    sv = W[:, 48, :]
+    S_rows = [None] * 24
+    for i in range(23, -1, -1):
+        acc = W[i, 24:49, :]          # (25, BB) transformed RHS row
+        for j in range(i + 1, 24):
+            acc = acc - W[i, j][None, :] * S_rows[j]
+        di = W[i, i]
+        di_safe = jnp.where(jnp.abs(di) > 1e-30, di, 1.0)
+        S_rows[i] = acc / di_safe[None, :]
+    Sfull = jnp.stack(S_rows, axis=0)     # (24, 25, BB) = Quu^-1 [Qux | Qu]
+    Sw = Sfull[:, 0:24, :]
+    sv = Sfull[:, 24, :]
     Kd = -Sw
     dUd = -sv
     Hd = Qxx - _xtc(Qux, Sw)
