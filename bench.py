@@ -115,7 +115,8 @@ def main():
             def run_scale():
                 out = [ddp.solve_batch(dataclasses.replace(pb_c, x0=x),
                                        sb_c, opt, parallel_rollout=True,
-                                       pallas_backward=use_pallas)
+                                       pallas_backward=use_pallas and not use_kjac,
+                                       kernel_jac=use_kjac)
                        for x in xs]
                 out[-1].cost.block_until_ready()
                 return out

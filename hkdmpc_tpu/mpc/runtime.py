@@ -128,11 +128,14 @@ class MPCService:
 
         Stops after `max_messages` received or `duration_s` elapsed (either
         may be None). Fills self.stats, incl. the native transport's drop
-        counters when available."""
+        counters when available. mpc_data received past the max_messages
+        cap (and any non-mpc_data traffic) is not served but IS counted in
+        `stats["ignored"]`; a hung in-flight solve at exit is bounded by a
+        drain grace period and counted in `stats["abandoned"]`."""
         import time as _time
 
         assert self.solver.cfg.fused_step, "run_async requires fused_step"
-        n_recv = n_solved = n_superseded = n_reset = 0
+        n_recv = n_solved = n_superseded = n_reset = n_ignored = 0
         pending_msg = None
         busy = False
         deadline = (None if duration_s is None
@@ -146,12 +149,15 @@ class MPCService:
             # short poll while work is in flight; longer when idle
             got = self.tx.receive(timeout_ms=1 if (busy or pending_msg)
                                   else 20)
-            if got is not None and got[0] == "mpc_data" and (
-                    max_messages is None or n_recv < max_messages):
-                n_recv += 1
-                if pending_msg is not None:
-                    n_superseded += 1
-                pending_msg = self.data_t.decode(got[1])
+            if got is not None:
+                if got[0] == "mpc_data" and (
+                        max_messages is None or n_recv < max_messages):
+                    n_recv += 1
+                    if pending_msg is not None:
+                        n_superseded += 1
+                    pending_msg = self.data_t.decode(got[1])
+                else:
+                    n_ignored += 1  # post-cap mpc_data or foreign channel
             if busy and self.solver.fused_ready():
                 cmd = self.solver.update_fused_complete()
                 self.publish_command(cmd)
@@ -172,13 +178,27 @@ class MPCService:
                         qJ=np.asarray(msg["qJ"]),
                         mpc_time=float(msg["mpctime"]))
                     busy = True
-        if busy:  # drain the in-flight solve
-            cmd = self.solver.update_fused_complete()
-            self.publish_command(cmd)
-            self.publish_solver_info()
-            n_solved += 1
+        n_abandoned = 0
+        if busy:
+            # drain the in-flight solve, but bounded: if the device/tunnel
+            # hung, an unconditional update_fused_complete() would block
+            # forever and defeat the duration_s deadline
+            grace = _time.perf_counter() + max(
+                5.0, duration_s if duration_s is not None else 0.0)
+            while not self.solver.fused_ready() and \
+                    _time.perf_counter() < grace:
+                _time.sleep(0.001)
+            if self.solver.fused_ready():
+                cmd = self.solver.update_fused_complete()
+                self.publish_command(cmd)
+                self.publish_solver_info()
+                n_solved += 1
+            else:
+                self.solver._pending = None  # discard the hung dispatch
+                n_abandoned = 1
         self.stats = {"received": n_recv, "solved": n_solved,
                       "superseded": n_superseded, "resets": n_reset,
+                      "ignored": n_ignored, "abandoned": n_abandoned,
                       "unserved": 0 if pending_msg is None else 1}
         if hasattr(self.tx, "stats"):
             self.stats.update(self.tx.stats())

@@ -162,6 +162,10 @@ class HKDMPCSolver:
         from hkdmpc_tpu.utils.checkpoint import load_problem
 
         load_problem(ckpt_path, self.problem)
+        # discard any in-flight pre-restore dispatch: its bundle was computed
+        # against the discarded pre-checkpoint state, so completing it after
+        # resume would publish a stale command
+        self._pending = None
         self.mpc_iter = 0
         self.solve_time = 0.0
         self.update_foot_placement()
@@ -223,6 +227,14 @@ class HKDMPCSolver:
         HKDMPC.cpp:168-200; here the overlap comes from XLA's async dispatch).
         Follow with fused_ready()/update_fused_complete()."""
         from hkdmpc_tpu.mpc import fused
+
+        # a prior dispatch that was never completed would be silently
+        # dropped here, desynchronizing mpc_iter/solve_time accounting from
+        # actually-served commands (run_async serializes via its busy flag;
+        # direct API users must drain before re-dispatching)
+        assert self._pending is None, \
+            "update_fused_dispatch with an in-flight dispatch pending — " \
+            "call update_fused_complete() (or discard it) first"
 
         pb = self.problem
         old_offsets = self._offsets

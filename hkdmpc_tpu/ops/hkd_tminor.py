@@ -312,15 +312,21 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
             jnp.zeros((T, 24, 24), dtype))
 
 
-def terminal_partials_tbatch(prob, X, constr, al_active: bool):
-    """(phix (T+1,24), phixx (T+1,24,24)) — terminal tracking + foot reg
-    + AL touchdown, horizon-minor, masked by term_mask."""
-    dtype = X.dtype
-    Tn = prob.T + 1
-    xr = prob.xr
-    tm = prob.term_mask
-    tc = [prob.term_contact[:, l] for l in range(4)]
+def terminal_partial_entries(x_cols, xr_cols, fr_cols, tc, tm, td, sig, lam,
+                             one, al_active: bool = True):
+    """Terminal-cost partial entries (tracking + foot reg + AL touchdown) as
+    dicts — phix keyed by state index i, phixx by (i, j) — over column
+    vectors of any trailing shape ((T+1,) in the XLA T-minor builder, (BB,)
+    inside the Pallas kernel; single definition site so the paths cannot
+    drift). tc/td/sig/lam: 4 per-leg columns each; tm: the terminal-node
+    mask column; one: a ones vector of the column shape. With al_active the
+    AL block contributes exactly zero wherever sig = lam = 0, so the kernel
+    path disables AL by zeroing those columns (same convention as reb_eps).
 
+    Parity: SinglePhase.cpp:402-426 (terminal partials with AL folded in,
+    incl. the sigma*(1+h)+lambda Gauss-Newton Hessian quirk),
+    HKDCost.cpp:40-66 (terminal foot reg, factor 10 and no 1/2),
+    HKDConstraints.cpp:124-171 (touchdown rows + jacobian reorder)."""
     phix: dict = {}
     phixx: dict = {}
 
@@ -329,13 +335,13 @@ def terminal_partials_tbatch(prob, X, constr, al_active: bool):
 
     for i in range(12):
         qf = W.QF_MULT * _QF_SCALE_BODY[i] * _Q_BODY[i]
-        acc(phix, i, tm * qf * (X[:, i] - xr[:, i]))
+        acc(phix, i, tm * qf * (x_cols[i] - xr_cols[i]))
         acc(phixx, (i, i), tm * qf)
     for l in range(4):
         w = _QF_LEG * (1.0 - tc[l])
         for j in range(3):
             i = 12 + 3 * l + j
-            acc(phix, i, tm * w * (X[:, i] - xr[:, i]))
+            acc(phix, i, tm * w * (x_cols[i] - xr_cols[i]))
             acc(phixx, (i, i), tm * w)
 
     # terminal foot reg: grad 2*10*J'Wd, hess 2*10*J'WJ (factor-10, no 1/2)
@@ -344,8 +350,8 @@ def terminal_partials_tbatch(prob, X, constr, al_active: bool):
         Wl = [_WFOOT[0] * tc[l], _WFOOT[1] * tc[l]]
         for j in range(2):
             i = 12 + 3 * l + j
-            d = (X[:, i] - X[:, 3 + j]) - (prob.foot_r[:, 3 * l + j]
-                                           - xr[:, 3 + j])
+            d = (x_cols[i] - x_cols[3 + j]) - (fr_cols[3 * l + j]
+                                               - xr_cols[3 + j])
             acc(phix, i, tm * tf2 * Wl[j] * d)
             acc(phix, 3 + j, -tm * tf2 * Wl[j] * d)
             acc(phixx, (i, i), tm * tf2 * Wl[j])
@@ -354,32 +360,49 @@ def terminal_partials_tbatch(prob, X, constr, al_active: bool):
             acc(phixx, (3 + j, i), -tm * tf2 * Wl[j])
 
     if al_active:
-        p = _body_pieces(X)
+        eul = (x_cols[0], x_cols[1], x_cols[2])
+        R, dR, _ = _rot_entries(eul)
+        pos = [x_cols[3], x_cols[4], x_cols[5]]
         for l in range(4):
-            mask = tm * prob.td_mask[:, l]
-            pf = _foot_world_entries(p, l)
-            h = pf[2]
-            sig = constr.al_sigma[:, l]
-            lam = constr.al_lambda[:, l]
-            w1 = mask * (sig * h + lam)
-            w2 = mask * (sig * (1.0 + h) + lam)
-            # hx row entries: d pf_z/d eul (3), d pf_z/d pos_z = 1, d/d qleg
-            p_leg, J_leg = _leg_fk_entries(p["qd"][l], l)
+            mask = tm * td[l]
+            qd_l = [x_cols[12 + 3 * l + j] for j in range(3)]
+            p_leg, J_leg = _leg_fk_entries(qd_l, l)
             hip = _HIP[l]
             pfull = [p_leg[k] + hip[k] for k in range(3)]
+            # world foot height h = pos_z + R[2,:] . pfull
+            h = pos[2] + sum(R[2][k] * pfull[k] for k in range(3))
+            w1 = mask * (sig[l] * h + lam[l])
+            w2 = mask * (sig[l] * (1.0 + h) + lam[l])
+            # hx row entries: d pf_z/d eul (3), d pf_z/d pos_z = 1, d/d qleg
             cols = {}
             for ang in range(3):
-                cols[ang] = sum(p["dR"][ang][2][k] * pfull[k]
+                cols[ang] = sum(dR[ang][2][k] * pfull[k]
                                 for k in range(3))
-            cols[5] = jnp.ones(Tn, dtype)
+            cols[5] = one
             for j in range(3):
-                cols[12 + 3 * l + j] = sum(p["R"][2][k] * J_leg[k][j]
+                cols[12 + 3 * l + j] = sum(R[2][k] * J_leg[k][j]
                                            for k in range(3))
             for a, va in cols.items():
                 acc(phix, a, w1 * va)
                 for b, vb in cols.items():
                     acc(phixx, (a, b), w2 * va * vb)
 
+    return phix, phixx
+
+
+def terminal_partials_tbatch(prob, X, constr, al_active: bool):
+    """(phix (T+1,24), phixx (T+1,24,24)) — terminal tracking + foot reg
+    + AL touchdown, horizon-minor, masked by term_mask."""
+    dtype = X.dtype
+    Tn = prob.T + 1
+    tc = [prob.term_contact[:, l] for l in range(4)]
+    td = [prob.td_mask[:, l] for l in range(4)]
+    sig = [constr.al_sigma[:, l] for l in range(4)]
+    lam = [constr.al_lambda[:, l] for l in range(4)]
+    phix, phixx = terminal_partial_entries(
+        [X[:, i] for i in range(24)], [prob.xr[:, i] for i in range(24)],
+        [prob.foot_r[:, i] for i in range(12)], tc, prob.term_mask, td,
+        sig, lam, jnp.ones(Tn, dtype), al_active)
     return _assemble_vec(phix, Tn, dtype), _assemble_mat(phixx, Tn, dtype)
 
 

@@ -324,12 +324,39 @@ def _vec_from_entries(entries, like):
     return jnp.stack([entries.get(i, zero) for i in range(24)], axis=0)
 
 
+def _mat_from_entries(entries, like):
+    """(24, 24, BB) dense matrix from sparse entries {(i, j): (BB,)}."""
+    zero = jnp.zeros_like(like)
+    return jnp.stack(
+        [jnp.stack([entries.get((i, j), zero) for j in range(24)], axis=0)
+         for i in range(24)], axis=0)
+
+
+def _phi_dense(xcols, xr_cols, fr_cols, tctx, z, one):
+    """Dense (phix (24, BB), phixx (24, 24, BB)) terminal partials at one
+    node from its packed terminal context slab tctx (17, BB):
+    rows 0:4 term_contact, 4:8 td_mask, 8:12 al_sigma, 12:16 al_lambda,
+    16 term_mask. Entry formulas shared with the XLA builder
+    (ops/hkd_tminor.terminal_partial_entries — single definition site)."""
+    from hkdmpc_tpu.ops.hkd_tminor import terminal_partial_entries
+
+    tc = [tctx[l] for l in range(4)]
+    td = [tctx[4 + l] for l in range(4)]
+    sig = [tctx[8 + l] for l in range(4)]
+    lam = [tctx[12 + l] for l in range(4)]
+    tm = tctx[16]
+    phix_e, phixx_e = terminal_partial_entries(
+        xcols, xr_cols, fr_cols, tc, tm, td, sig, lam, one)
+    return _vec_from_entries(phix_e, z), _mat_from_entries(phixx_e, z)
+
+
 def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
-                rbd_ref, rbe_ref, dnext_ref, phix_t_ref, phixx_t_ref,
-                phix_n_ref, phixx_n_ref, isdyn_ref, isrst_ref, islast_ref,
+                tctx_ref, rbd_ref, rbe_ref, dnext_ref,
+                XT_ref, xrT_ref, frT_ref, tctxT_ref,
+                isdyn_ref, isrst_ref, islast_ref,
                 reg_ref, dt_ref,
                 K_ref, dU_ref, dv1_ref, dv2_ref, ok_ref,
-                G_s, H_s, dv1_s, dv2_s, ok_s, W_s):
+                G_s, H_s, dv1_s, dv2_s, ok_s, W_s, Px_s, Pxx_s):
     from hkdmpc_tpu.ops.hkd_tminor import _MU, running_partial_entries
     from hkdmpc_tpu.ops.jac_tminor import dyn_jac_entries, reset_jac_entries
     from hkdmpc_tpu.solver.costs import reb_derivs
@@ -343,6 +370,17 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
         dv1_s[...] = jnp.zeros_like(dv1_s)
         dv2_s[...] = jnp.zeros_like(dv2_s)
         ok_s[...] = jnp.ones_like(ok_s)
+        # terminal partials at node T (the only node no grid step owns as a
+        # source): seeds the phi stash that the is_last seeding below reads.
+        xT = XT_ref[0]
+        xTc = [xT[i] for i in range(24)]
+        zT = jnp.zeros_like(xTc[0])
+        oT = jnp.ones_like(xTc[0])
+        pxT, pxxT = _phi_dense(
+            xTc, [xrT_ref[0][i] for i in range(24)],
+            [frT_ref[0][i] for i in range(12)], tctxT_ref[0], zT, oT)
+        Px_s[...] = pxT
+        Pxx_s[...] = pxxT
 
     is_dyn = isdyn_ref[0, 0]     # (BB,)
     is_rst = isrst_ref[0, 0]
@@ -373,6 +411,8 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     fr = fr_ref[0]               # (12, BB)
     rbd = rbd_ref[0]             # (20, BB) ReB delta rows
     rbe = rbe_ref[0]             # (20, BB) ReB eps rows (zeros = ReB off)
+    xr_cols = [xr[i] for i in range(24)]
+    fr_cols = [fr[i] for i in range(12)]
     mdt = is_dyn * dtv
     d1c, d2c = [], []
     for l in range(4):
@@ -385,12 +425,19 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
             d1c.append(cc[l] * a1)
             d2c.append(cc[l] * a2)
     lx_e, lu_e, lxx_e, luu_e = running_partial_entries(
-        xcols, ucols, [xr[i] for i in range(24)],
-        [ur[i] for i in range(24)], [fr[i] for i in range(12)],
+        xcols, ucols, xr_cols, [ur[i] for i in range(24)], fr_cols,
         cc, mdt, d1c, d2c)
 
-    H = H_s[...] + is_last[None, None, :] * phixx_n_ref[0]
-    G = G_s[...] + is_last[None, :] * phix_n_ref[0]
+    # ---- terminal partials at the source node, in-kernel (was: the two
+    # (T+1, 24, 24) phixx + (T+1, 24) phix input slabs — the ledger's last
+    # big per-step DMA item). phi(t) feeds this step's RESET seed; the
+    # is_last seed at step t needs phi(t+1), which the PREVIOUS grid step
+    # (t+1) stashed in Px_s/Pxx_s (ti==0 stashes phi(T) above). ------------
+    phix_t, phixx_t = _phi_dense(xcols, xr_cols, fr_cols, tctx_ref[0],
+                                 z, one)
+
+    H = H_s[...] + is_last[None, None, :] * Pxx_s[...]
+    G = G_s[...] + is_last[None, :] * Px_s[...]
     dnext = dnext_ref[0]
     Gn = G + jnp.sum(H * dnext[None, :, :], axis=1)
 
@@ -418,14 +465,17 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     # Gauss-Jordan sweep it replaced updated all 24 every time), and the
     # 25 RHS columns are recovered by back-substitution — about half the
     # serially-dependent work. Pivot values (and thus the PSD gate) are
-    # bit-identical to the Jordan sweep: both apply the same row-k update
-    # from each earlier pivot.
+    # identical to the Jordan sweep up to per-op rounding: both apply the
+    # same row-k update from each earlier pivot, but the update orders
+    # differ at the ulp level, so the d>1e-9 PSD gate can in principle flip
+    # on borderline pivots between the two kernels — do not rely on
+    # bit-exact gate agreement across kernels.
     W_s[...] = jnp.zeros_like(W_s)
     W_s[:, 0:24, :] = Quu
     W_s[:, 24:48, :] = Qux
     W_s[:, 48, :] = Qu
 
-    ok = jnp.ones((BB,), jnp.float32)
+    ok = jnp.ones_like(reg)
     for k in range(24):
         row = W_s[k]                  # (49, BB)
         d = row[k]
@@ -458,8 +508,8 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     # ---- RESET path: Px = I + S, sparse sandwich -------------------------
     HS = _sparse_post(H, S)
     M = H + HS
-    Hr = phixx_t_ref[0] + M + _sparse_pre(M, S)
-    Gr = phix_t_ref[0] + Gn + _sparse_pre_vec(Gn, S)
+    Hr = phixx_t + M + _sparse_pre(M, S)
+    Gr = phix_t + Gn + _sparse_pre_vec(Gn, S)
 
     is_pad = 1.0 - is_dyn - is_rst
     G_s[...] = (is_dyn[None, :] * Gd + is_rst[None, :] * Gr
@@ -473,6 +523,11 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     dv2_s[...] = dv2_s[...] + is_dyn[None, :] * dv[None, :]
     ok_s[...] = ok_s[...] * jnp.where(is_dyn[None, :] > 0, ok[None, :], 1.0)
 
+    # stash phi(t) for the NEXT grid step's is_last seed (step t-1 needs
+    # phi at node t)
+    Px_s[...] = phix_t
+    Pxx_s[...] = phixx_t
+
     dv1_ref[0] = dv1_s[0]
     dv2_ref[0] = dv2_s[0]
     ok_ref[0] = ok_s[0]
@@ -480,17 +535,23 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
 
 def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
                               xr, ur, foot_r, reb_delta, reb_eps,
-                              defect, phix, phixx,
-                              reg, last_node_b, dt, interpret=False):
-    """Explicit-batch backward sweep with IN-KERNEL HKD jacobians AND
-    running-cost partials.
+                              term_contact, td_mask, al_sigma, al_lambda,
+                              term_mask, defect,
+                              reg, last_node_b, dt, interpret=False,
+                              bb=None):
+    """Explicit-batch backward sweep with IN-KERNEL HKD jacobians,
+    running-cost partials AND terminal partials (tracking + foot reg + AL
+    touchdown) — no phix/phixx slabs cross HBM at all.
 
     kind_b (Bt, T) int32; X/xr (Bt, T+1, 24); U/ur (Bt, T(+1), 24);
     contact / contact_next (Bt, T, 4); foot_r (Bt, T+1, 12); reb rows
     (Bt, T, 20) — pass reb_eps = zeros to disable the ReB barrier;
+    term_contact/td_mask/al_sigma/al_lambda (Bt, T+1, 4) and term_mask
+    (Bt, T+1) — pass al_sigma = al_lambda = zeros to disable AL;
     dt scalar or (Bt,). Returns (dU, K, dv1, dv2, ok)."""
+    bb = bb or BB
     Bt, T = kind_b.shape
-    Bp = ((Bt + BB - 1) // BB) * BB
+    Bp = ((Bt + bb - 1) // bb) * bb
     pad = Bp - Bt
 
     def bm(x):
@@ -499,18 +560,23 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
         perm = tuple(range(1, x.ndim)) + (0,)
         return jnp.transpose(x, perm)
 
-    X_m = bm(X[:, :-1])
+    # packed per-node terminal context (T+1, 17): 0:4 term_contact,
+    # 4:8 td_mask, 8:12 al_sigma, 12:16 al_lambda, 16 term_mask
+    tctx = jnp.concatenate(
+        [term_contact, td_mask, al_sigma, al_lambda, term_mask[..., None]],
+        axis=-1)
+
+    X_m = bm(X)                  # full (T+1) nodes: per-step + node-T views
     U_m = bm(U)
     c_m = bm(contact)
     cn_m = bm(contact_next)
-    xr_m = bm(xr[:, :-1])
+    xr_m = bm(xr)
     ur_m = bm(ur[:, :T])
-    fr_m = bm(foot_r[:, :-1])
+    fr_m = bm(foot_r)
+    tctx_m = bm(tctx)
     rbd_m = bm(reb_delta)
     rbe_m = bm(reb_eps)
     d_m = bm(defect)
-    phix_m = bm(phix)
-    phixx_m = bm(phixx)
 
     from hkdmpc_tpu.solver.structs import DYN, RESET
     is_dyn = bm((kind_b == DYN).astype(jnp.float32))[:, None, :]
@@ -526,51 +592,54 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
         jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (Bt,)),
         (0, pad))[None, :]
 
-    nb = Bp // BB
+    nb = Bp // bb
     rev4 = lambda bi, ti: (T - 1 - ti, 0, 0, bi)
     rev3 = lambda bi, ti: (T - 1 - ti, 0, bi)
     nxt3 = lambda bi, ti: (T - ti, 0, bi)
-    nxt4 = lambda bi, ti: (T - ti, 0, 0, bi)
+    lastn = lambda bi, ti: (T, 0, bi)   # constant: fetched once per block
     fix2 = lambda bi, ti: (0, bi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb, T),
         in_specs=[
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # X
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # U
-            pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # c
-            pl.BlockSpec((1, 4, BB), rev3, memory_space=pltpu.VMEM),   # cn
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # xr
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # ur
-            pl.BlockSpec((1, 12, BB), rev3, memory_space=pltpu.VMEM),  # fr
-            pl.BlockSpec((1, 20, BB), rev3, memory_space=pltpu.VMEM),  # rbd
-            pl.BlockSpec((1, 20, BB), rev3, memory_space=pltpu.VMEM),  # rbe
-            pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),  # dnext
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),  # phix_t
-            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, BB), nxt3, memory_space=pltpu.VMEM),  # phix_n
-            pl.BlockSpec((1, 24, 24, BB), nxt4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),      # reg
-            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),      # dt
+            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # X
+            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # U
+            pl.BlockSpec((1, 4, bb), rev3, memory_space=pltpu.VMEM),   # c
+            pl.BlockSpec((1, 4, bb), rev3, memory_space=pltpu.VMEM),   # cn
+            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # xr
+            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # ur
+            pl.BlockSpec((1, 12, bb), rev3, memory_space=pltpu.VMEM),  # fr
+            pl.BlockSpec((1, 17, bb), rev3, memory_space=pltpu.VMEM),  # tctx
+            pl.BlockSpec((1, 20, bb), rev3, memory_space=pltpu.VMEM),  # rbd
+            pl.BlockSpec((1, 20, bb), rev3, memory_space=pltpu.VMEM),  # rbe
+            pl.BlockSpec((1, 24, bb), nxt3, memory_space=pltpu.VMEM),  # dnext
+            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM), # X_T
+            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM), # xr_T
+            pl.BlockSpec((1, 12, bb), lastn, memory_space=pltpu.VMEM), # fr_T
+            pl.BlockSpec((1, 17, bb), lastn, memory_space=pltpu.VMEM), # tctx_T
+            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # reg
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # dt
         ],
         out_specs=[
-            pl.BlockSpec((1, 24, 24, BB), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, BB), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, 24, bb), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((24, BB), jnp.float32),
-            pltpu.VMEM((24, 24, BB), jnp.float32),
-            pltpu.VMEM((1, BB), jnp.float32),
-            pltpu.VMEM((1, BB), jnp.float32),
-            pltpu.VMEM((1, BB), jnp.float32),
-            pltpu.VMEM((24, NS, BB), jnp.float32),
+            pltpu.VMEM((24, bb), jnp.float32),
+            pltpu.VMEM((24, 24, bb), jnp.float32),
+            pltpu.VMEM((1, bb), jnp.float32),
+            pltpu.VMEM((1, bb), jnp.float32),
+            pltpu.VMEM((1, bb), jnp.float32),
+            pltpu.VMEM((24, NS, bb), jnp.float32),
+            pltpu.VMEM((24, bb), jnp.float32),       # phi stash: Px_s
+            pltpu.VMEM((24, 24, bb), jnp.float32),   # phi stash: Pxx_s
         ],
     )
 
@@ -585,8 +654,8 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(X_m, U_m, c_m, cn_m, xr_m, ur_m, fr_m, rbd_m, rbe_m, d_m, phix_m,
-      phixx_m, phix_m, phixx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
+    )(X_m, U_m, c_m, cn_m, xr_m, ur_m, fr_m, tctx_m, rbd_m, rbe_m, d_m,
+      X_m, xr_m, fr_m, tctx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
 
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]

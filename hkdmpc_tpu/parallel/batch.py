@@ -73,12 +73,17 @@ def perturb_scenarios(prob_b: ProblemData, key, x0_scale=None):
 
 def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
                   axis: str = "scenario", parallel_rollout: bool = False,
-                  pallas_backward: bool = False):
+                  pallas_backward: bool = False, kernel_jac: bool = False,
+                  assoc_linear: bool = False):
     """Batched solve sharded over the mesh.
 
     Scenario-parallel solves ride per-device vmap; cross-chip aggregation of
     solve metrics (mean cost, max violations) uses ICI collectives inside
     shard_map — the only communication this workload needs.
+
+    kernel_jac / assoc_linear / pallas_backward pass through to ddp.solve so
+    the flagship production configuration (in-kernel-jacobian Pallas
+    backward) runs under sharding exactly as it does under plain vmap.
 
     Returns (SolveResult batched, aggregates dict of replicated scalars).
     """
@@ -99,7 +104,8 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
     def _solve_shard(prob_shard, state_shard):
         res = jax.vmap(lambda p, s: ddp.solve(
             p, s, opt, parallel_rollout=parallel_rollout,
-            pallas_backward=pallas_backward))(prob_shard, state_shard)
+            pallas_backward=pallas_backward, kernel_jac=kernel_jac,
+            assoc_linear=assoc_linear))(prob_shard, state_shard)
         n_local = res.cost.shape[0]
         agg = {
             "mean_cost": jax.lax.psum(jnp.sum(res.cost), axis)

@@ -234,16 +234,20 @@ class _ProbView:
 
 @_custom_vmap
 def riccati_backward_hkd(kind, X, U, contact, contact_next, xr, ur, foot_r,
-                         reb_delta, reb_eps, defect, phix, phixx, reg,
+                         reb_delta, reb_eps, term_contact, td_mask,
+                         al_sigma, al_lambda, term_mask, defect, reg,
                          last_node, dt):
     """Array-interface backward sweep for the default HKD model with the
-    jacobians AND running-cost partials built from (X, U, references)
-    instead of passed in: the batched rule runs the in-kernel Pallas kernel
-    (ops/pallas_backward._kernel_hkd); the unbatched rule builds A/B and
-    the partials via the SAME entry formulas (ops/jac_tminor +
-    ops/hkd_tminor) and runs the faithful scan. Pass reb_eps = zeros to
-    disable the ReB barrier terms. Returns (dU, K, dv1, dv2, ok)."""
-    from hkdmpc_tpu.ops.hkd_tminor import running_partials_tbatch
+    jacobians, running-cost partials AND terminal partials built from
+    (X, U, references, constraint params) instead of passed in: the batched
+    rule runs the in-kernel Pallas kernel (ops/pallas_backward._kernel_hkd);
+    the unbatched rule builds A/B and every partial via the SAME entry
+    formulas (ops/jac_tminor + ops/hkd_tminor) and runs the faithful scan.
+    Pass reb_eps = zeros to disable the ReB barrier terms and
+    al_sigma = al_lambda = zeros to disable the AL terms.
+    Returns (dU, K, dv1, dv2, ok)."""
+    from hkdmpc_tpu.ops.hkd_tminor import (running_partials_tbatch,
+                                           terminal_partials_tbatch)
     from hkdmpc_tpu.ops.jac_tminor import build_AB_tminor
 
     p = _ProbView()
@@ -256,6 +260,9 @@ def riccati_backward_hkd(kind, X, U, contact, contact_next, xr, ur, foot_r,
     p.xr = xr
     p.ur = ur
     p.foot_r = foot_r
+    p.term_contact = term_contact
+    p.td_mask = td_mask
+    p.term_mask = term_mask
     A, B = build_AB_tminor(p, X, U)
 
     class _C:
@@ -263,8 +270,11 @@ def riccati_backward_hkd(kind, X, U, contact, contact_next, xr, ur, foot_r,
     c = _C()
     c.reb_delta = reb_delta
     c.reb_eps = reb_eps
+    c.al_sigma = al_sigma
+    c.al_lambda = al_lambda
     lx, lu, lxx, luu, _ = running_partials_tbatch(p, X, U, c,
                                                   reb_active=True)
+    phix, phixx = terminal_partials_tbatch(p, X, c, al_active=True)
     lq = LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=None,
                 phix=phix, phixx=phixx)
     dU, K, G0, H0, dv1, dv2, ok = backward_sweep(p, lq, defect, reg,
@@ -275,7 +285,8 @@ def riccati_backward_hkd(kind, X, U, contact, contact_next, xr, ur, foot_r,
 @riccati_backward_hkd.def_vmap
 def _riccati_backward_hkd_batched(axis_size, in_batched, kind, X, U, contact,
                                   contact_next, xr, ur, foot_r, reb_delta,
-                                  reb_eps, defect, phix, phixx, reg,
+                                  reb_eps, term_contact, td_mask, al_sigma,
+                                  al_lambda, term_mask, defect, reg,
                                   last_node, dt):
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
 
@@ -287,24 +298,27 @@ def _riccati_backward_hkd_batched(axis_size, in_batched, kind, X, U, contact,
         in_axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(unbatched, in_axes=in_axes)(
             kind, X, U, contact, contact_next, xr, ur, foot_r, reb_delta,
-            reb_eps, defect, phix, phixx, reg, last_node, dt)
+            reb_eps, term_contact, td_mask, al_sigma, al_lambda, term_mask,
+            defect, reg, last_node, dt)
         return out, (True, True, True, True, True)
 
     def bc(x, b):
         return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
     names = (kind, X, U, contact, contact_next, xr, ur, foot_r, reb_delta,
-             reb_eps, defect, phix, phixx, last_node)
+             reb_eps, term_contact, td_mask, al_sigma, al_lambda, term_mask,
+             defect, last_node)
     bflags = tuple(in_batched[i] for i in
-                   (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14))
+                   (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                    17))
     args = [bc(a, b) for a, b in zip(names, bflags)]
-    reg_v = reg if in_batched[13] else jnp.broadcast_to(reg, (axis_size,))
-    dt_v = dt if in_batched[15] else jnp.broadcast_to(dt, (axis_size,))
+    reg_v = reg if in_batched[16] else jnp.broadcast_to(reg, (axis_size,))
+    dt_v = dt if in_batched[18] else jnp.broadcast_to(dt, (axis_size,))
     interpret = backend == "cpu"
     out = backward_sweep_pallas_hkd(
         args[0], args[1], args[2], args[3], args[4], args[5], args[6],
-        args[7], args[8], args[9], args[10], args[11], args[12], reg_v,
-        args[13], dt_v, interpret=interpret)
+        args[7], args[8], args[9], args[10], args[11], args[12], args[13],
+        args[14], args[15], reg_v, args[16], dt_v, interpret=interpret)
     return out, (True, True, True, True, True)
 
 
@@ -320,11 +334,12 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
     reg_out is the post-success relaxation reg/20 (zeroed below 1e-6),
     parity: MultiPhaseDDP.cpp:141-181.
 
-    kernel_jac_XU: optional (X, U, reb_delta, reb_eps) — when given (and
-    the model is the default 24-dim HKD), the jacobians AND running-cost
-    partials are built INSIDE the sweep via riccati_backward_hkd;
-    lq.A/B/lx/lu/lxx/luu are never read (they may be None; see
-    lq_approximation skip flags). reb_eps zeros disables the barrier."""
+    kernel_jac_XU: optional (X, U, reb_delta, reb_eps, al_sigma, al_lambda)
+    — when given (and the model is the default 24-dim HKD), the jacobians
+    AND all cost partials (running + terminal) are built INSIDE the sweep
+    via riccati_backward_hkd; lq is never read (every field may be None;
+    see lq_approximation skip flags). reb_eps zeros disables the barrier;
+    al_sigma/al_lambda zeros disable the AL terms."""
     dtype = defect.dtype
 
     def cond(carry):
@@ -334,11 +349,12 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
     def body(carry):
         reg, out, ok, failed = carry
         if kernel_jac_XU is not None:
-            X, U, rbd, rbe = kernel_jac_XU
+            X, U, rbd, rbe, sig, lam = kernel_jac_XU
             dU, K, dv1, dv2, ok_new = riccati_backward_hkd(
                 prob.kind, X, U, prob.contact, prob.contact_next,
                 prob.xr, prob.ur, prob.foot_r, rbd, rbe,
-                defect, lq.phix, lq.phixx, reg, last_node, prob.dt)
+                prob.term_contact, prob.td_mask, sig, lam, prob.term_mask,
+                defect, reg, last_node, prob.dt)
         elif use_pallas:
             dU, K, dv1, dv2, ok_new = riccati_backward(
                 prob.kind, lq.A, lq.B, lq.lxx, lq.luu, lq.lx, lq.lu,
@@ -352,7 +368,7 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
         return reg_new, (dU, K, dv1, dv2), ok_new, failed_new
 
     T = prob.T
-    nx = lq.phix.shape[-1]
+    nx = defect.shape[-1]
     nu = lq.lu.shape[-1] if lq.lu is not None else nx
     dummy = (jnp.zeros((T, nu), dtype), jnp.zeros((T, nu, nx), dtype),
              jnp.zeros((), dtype), jnp.zeros((), dtype))

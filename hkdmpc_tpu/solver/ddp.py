@@ -169,7 +169,11 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         if kernel_jac:
             rbe = (st.constr.reb_eps if reb_on
                    else jnp.zeros_like(st.constr.reb_eps))
-            kj_ctx = (c["X"], c["U"], st.constr.reb_delta, rbe)
+            sig = (st.constr.al_sigma if al_on
+                   else jnp.zeros_like(st.constr.al_sigma))
+            lam = (st.constr.al_lambda if al_on
+                   else jnp.zeros_like(st.constr.al_lambda))
+            kj_ctx = (c["X"], c["U"], st.constr.reb_delta, rbe, sig, lam)
         else:
             kj_ctx = None
         dU, K, dv1, dv2, reg_new, ok_bw, bw_failed = \

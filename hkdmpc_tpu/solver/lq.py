@@ -123,12 +123,11 @@ def _lq_fast_ab(prob, X, U, constr, reb_active, al_active, model, fast_ab,
     term_fast = getattr(model, "terminal_partials_tbatch", None)
     if run_fast is not None and term_fast is not None:
         if skip_partials:
-            # running partials are rebuilt inside the backward kernel
-            # (ddp.solve(kernel_jac=True)); only the terminal partials are
-            # materialized (the kernel's reset/last-node seeds)
-            phix, phixx = term_fast(prob, X, constr, al_active)
+            # every cost partial (running AND terminal) is rebuilt inside
+            # the backward kernel (ddp.solve(kernel_jac=True)); nothing is
+            # materialized here at all
             return LQData(A=A, B=B, lx=None, lu=None, lxx=None, luu=None,
-                          lux=None, phix=phix, phixx=phixx)
+                          lux=None, phix=None, phixx=None)
         lx, lu, lxx, luu, lux = run_fast(prob, X, U, constr, reb_active)
         phix, phixx = term_fast(prob, X, constr, al_active)
         return LQData(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu,

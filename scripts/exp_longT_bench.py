@@ -36,7 +36,7 @@ def main():
 
         fn = jax.jit(lambda p, s: jax.vmap(
             lambda pp, ss: ddp.solve(pp, ss, opt_rt, True,
-                                     pallas_backward=True))(p, s))
+                                     kernel_jac=True))(p, s))
         t0 = time.time()
         lowered = fn.lower(prob_b, state_b)
         compiled = lowered.compile()

@@ -159,6 +159,196 @@ class PhaseRef:
                                             + self.al_lambda * h)))
 
 
+    # --- receding-horizon trajectory mutation (TrajectoryManagement.cpp) --
+
+    def pop_front(self):
+        """Drop the first step (Trajectory::pop_front,
+        TrajectoryManagement.cpp:118-145 + ConstraintContainer pop_front_n)."""
+        self.horizon -= 1
+        for name in ("Xbar", "X", "Xsim", "defect", "defect_bar", "dX",
+                     "G", "H"):
+            setattr(self, name, getattr(self, name)[1:].copy())
+        for name in ("Ubar", "U", "dU", "K", "A", "B", "g",
+                     "reb_delta", "reb_delta_min", "reb_eps"):
+            setattr(self, name, getattr(self, name)[1:].copy())
+        self.rc = self.rc[1:]
+
+    def push_back_default(self):
+        """Append one step: Xbar/X duplicate the last state, everything else
+        zero, constraint params copy the last row (SinglePhase.cpp:486-491
+        push_back_default -> Trajectory::push_back_state,
+        TrajectoryManagement.cpp:181-207; ConstraintsBase.h push_back)."""
+        self.horizon += 1
+        for name in ("Xbar", "X"):
+            a = getattr(self, name)
+            setattr(self, name, np.vstack([a, a[-1:]]))
+        for name in ("Xsim", "defect", "defect_bar", "dX", "G"):
+            a = getattr(self, name)
+            setattr(self, name, np.vstack([a, np.zeros((1, 24))]))
+        self.H = np.concatenate([self.H, np.zeros((1, 24, 24))], axis=0)
+        for name in ("Ubar", "U", "dU"):
+            a = getattr(self, name)
+            setattr(self, name, np.vstack([a, np.zeros((1, 24))]))
+        for name in ("A", "B", "K"):
+            a = getattr(self, name)
+            setattr(self, name, np.concatenate(
+                [a, np.zeros((1, 24, 24))], axis=0))
+        self.g = np.vstack([self.g, np.zeros((1, 20))])
+        for name in ("reb_delta", "reb_delta_min", "reb_eps"):
+            a = getattr(self, name)
+            setattr(self, name, np.vstack([a, a[-1:]]))
+        self.rc = self.rc + [dict()]
+
+
+class NaiveMPC:
+    """Independent numpy mirror of HKDProblem's receding-horizon machinery
+    (HKD-TrajOpt/HKDProblem.cpp:14-222) over PhaseRef objects and its own
+    QuadReference window: contact segmentation, per-MPC-step front
+    shrink/pop, back grow/append (appended phases warm-start at ZERO —
+    HKDProblem.cpp:160-184 never touches the reference), touchdown-
+    constraint refresh with AL re-init (add_tconstr_one_phase re-creates
+    the constraint each call, HKDProblem.cpp:267-310), the shooting-set
+    refresh with the asymmetric tiny-last-phase rule (HKDProblem.cpp:215-218),
+    and the front Ubar[0] zeroing quirk (HKDProblem.cpp:219). reach_end
+    starts False for every phase — initialization's
+    `contact_prev != contact_prev` self-compare (HKDProblem.cpp:59) is
+    always false; kept as behavior."""
+
+    def __init__(self, ref, plan_duration, cparams, dt_sim=0.01,
+                 dt_mpc=0.01):
+        self.ref = ref
+        self.plan_duration = plan_duration
+        self.dt = dt_sim
+        self.dt_mpc = dt_mpc
+        self.cparams = cparams
+        self.phases = []
+        ref.initialize(plan_duration)
+
+        contact_prev = np.asarray(ref.contact_at_t(0.0), float).copy()
+        phase_start = 0.0
+        t = 0.0
+        while t <= plan_duration + 1e-6:
+            c = np.asarray(ref.contact_at_t(t), float)
+            if (c != contact_prev).any() or t >= plan_duration - 1e-6:
+                h = int(round((t - phase_start) / dt_sim))
+                ph = self._make_phase(phase_start, t, h, contact_prev)
+                self.phases.append(ph)
+                contact_prev = c.copy()
+                phase_start = t
+            t += dt_sim
+        self._refresh_refs()
+        for ph in self.phases:           # initial warm start from reference
+            ph.Xbar = ph.xr.copy()
+            ph.X = ph.xr.copy()
+        for i in range(len(self.phases)):
+            self._add_tconstr(i)
+        self._refresh_ss()
+
+    def _make_phase(self, t0, t1, h, contact):
+        ph = PhaseRef(horizon=h, contact=contact,
+                      contact_next=np.asarray(contact, float).copy(),
+                      td_mask=np.zeros(4), ss_on=True,
+                      xr=np.zeros((h + 1, 24)), ur=np.zeros((h + 1, 24)),
+                      foot_r=np.zeros((h + 1, 12)), cparams=self.cparams,
+                      has_tconstr=False)
+        # fresh phases carry zero warm starts and zero AL params until
+        # _add_tconstr binds a touchdown (HKDProblem.cpp:160-184)
+        ph.Xbar = np.zeros((h + 1, 24))
+        ph.X = np.zeros((h + 1, 24))
+        ph.al_lambda = np.zeros(4)
+        ph.al_sigma = np.zeros(4)
+        ph.start_time = t0
+        ph.end_time = t1
+        ph.reach_end = False
+        return ph
+
+    def _add_tconstr(self, idx):
+        ph = self.phases[idx]
+        if idx < len(self.phases) - 1:
+            contact_next = np.asarray(self.phases[idx + 1].contact, float)
+        else:
+            contact_next = np.asarray(self.ref.contact_at_t(
+                self.plan_duration + self.dt_mpc), float)
+        ph.contact_next = contact_next.copy()
+        td = ((ph.contact == 0) & (contact_next == 1)).astype(float)
+        ph.td_mask = td
+        ph.has_tconstr = True
+        if td.any():   # re-created constraint => fresh AL params
+            ph.al_lambda = np.full(4, self.cparams.td_al.lambda_)
+            ph.al_sigma = np.full(4, self.cparams.td_al.sigma)
+
+    def _refresh_refs(self):
+        """Re-derive per-phase reference arrays from the (shifted) window —
+        the C++ queries the reference live through per-phase time offsets
+        (HKDProblem.cpp:205-208 set_time_offset + HKDReference)."""
+        t0 = self.phases[0].start_time
+        for ph in self.phases:
+            h = ph.horizon
+            ph.xr = np.zeros((h + 1, 24))
+            ph.ur = np.zeros((h + 1, 24))
+            ph.foot_r = np.zeros((h + 1, 12))
+            for k in range(h + 1):
+                ridx = self.ref._index(ph.start_time - t0 + k * self.dt)
+                ph.xr[k] = self.ref.hkd_state_at(ridx)
+                ph.ur[k] = self.ref.hkd_control_at(ridx)
+                ph.foot_r[k] = self.ref.foot_placements[ridx]
+
+    def _refresh_ss(self):
+        n = len(self.phases)
+        for i, ph in enumerate(self.phases):
+            # HKDProblem.cpp:215-218: the last phase only (re)arms its
+            # shooting set while horizon > 2; a freshly appended tiny phase
+            # has an empty SS_set (SinglePhase::initialization clears it)
+            ph.ss = (i < n - 1) or ph.horizon > 2
+
+    def update(self, nsteps=1):
+        """Mirror of HKDProblem::update (HKDProblem.cpp:116-222)."""
+        for _ in range(nsteps):
+            self.ref.step(self.dt)
+            new_start = self.ref.start_time
+            new_end = self.ref.end_time
+
+            front = self.phases[0]
+            front.start_time += self.dt
+            if front.end_time <= new_start + 1e-6:
+                self.phases.pop(0)
+            else:
+                front.pop_front()
+                front.start_time = new_start
+
+            back = self.phases[-1]
+            new_contact = np.asarray(
+                self.ref.contact_at_t(new_end - new_start), float)
+            contact_change = (new_contact != back.contact).any()
+
+            if contact_change and back.reach_end:
+                h_new = int(round((new_end - back.end_time) / self.dt))
+                ph = self._make_phase(back.end_time, new_end, h_new,
+                                      new_contact.astype(int))
+                self.phases.append(ph)
+            else:
+                back.end_time = new_end
+                back.push_back_default()
+                if contact_change:
+                    back.reach_end = True
+
+            if self.phases[-1].reach_end:
+                self._add_tconstr(len(self.phases) - 1)
+
+        # front Ubar[0] zeroed every update (HKDProblem.cpp:219)
+        if self.phases[0].horizon > 0:
+            self.phases[0].Ubar[0] = 0.0
+        self._refresh_refs()
+        self._refresh_ss()
+
+    def solve(self, x0, opt):
+        """One warm-started re-solve over the current phases; returns the
+        NaiveHSDDP instance (traces on it) and its result dict."""
+        solver = NaiveHSDDP(self.phases, x0, self.dt, opt)
+        out = solver.solve()
+        return solver, out
+
+
 class NaiveHSDDP:
     """Direct mirror of MultiPhaseDDP<double> over PhaseRef objects."""
 

@@ -431,8 +431,9 @@ def test_solve_kernel_jac_equivalent_under_vmap():
 
 
 def test_kernel_jac_backward_matches_scan():
-    """riccati_backward_hkd batched rule (in-kernel jacobians, interpret
-    mode) vs the faithful scan with XLA-built A/B on the same inputs."""
+    """riccati_backward_hkd batched rule (in-kernel jacobians + running AND
+    terminal partials, interpret mode) vs the faithful scan with XLA-built
+    A/B and materialized partials on the same inputs."""
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
 
     pb, prob, state, opt = _solved_state()
@@ -452,7 +453,10 @@ def test_kernel_jac_backward_matches_scan():
         tile(f32(prob.contact)), tile(f32(prob.contact_next)),
         tile(f32(prob.xr)), tile(f32(prob.ur)), tile(f32(prob.foot_r)),
         tile(f32(state.constr.reb_delta)), tile(f32(state.constr.reb_eps)),
-        tile(d32), tile(lq32.phix), tile(lq32.phixx), regs,
+        tile(f32(prob.term_contact)), tile(f32(prob.td_mask)),
+        tile(f32(state.constr.al_sigma)), tile(f32(state.constr.al_lambda)),
+        tile(f32(prob.term_mask)),
+        tile(d32), regs,
         jnp.full((B,), last, jnp.int32),
         jnp.full((B,), jnp.float32(prob.dt)), interpret=True)
 

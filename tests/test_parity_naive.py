@@ -86,6 +86,124 @@ def test_naive_parity_hop_gait(tmp_path):
     _assert_match(pb, x0, opt)
 
 
+def test_naive_parity_receding_horizon():
+    """MPC-loop oracle parity: HKDProblem's receding-horizon update (front
+    shrink/pop, back grow/append, tconstr/AL refresh, Ubar[0] zeroing,
+    SS refresh — HKD-TrajOpt/HKDProblem.cpp:116-222) against the
+    independently-written NaiveMPC mirror: N warm-started re-solves under
+    runtime caps must agree on the warm-start bookkeeping BEFORE each solve
+    and on the full iteration trace + controls AFTER each solve. Closes the
+    one parity surface previously pinned only by invariants (round-3
+    verdict weak #4)."""
+    from hkdmpc_tpu.reference import QuadReference
+    from tests.reference_solver import NaiveMPC
+    from tests.test_solver import REF_DATA
+
+    pb, x0, opt = make_trot(plan_duration=0.45)
+    mpc = NaiveMPC(QuadReference.from_file(REF_DATA), 0.45, pb.cparams)
+
+    def check_warm_start(state):
+        """Flattened (state, constr) must equal the naive phases' arrays."""
+        Xb = np.asarray(state.Xbar)
+        Ub = np.asarray(state.Ubar)
+        Kf = np.asarray(state.K)
+        rd = np.asarray(state.constr.reb_delta)
+        al_s = np.asarray(state.constr.al_sigma)
+        al_l = np.asarray(state.constr.al_lambda)
+        t = 0
+        for i, ph in enumerate(mpc.phases):
+            h = ph.horizon
+            np.testing.assert_allclose(Xb[t:t + h + 1], ph.Xbar, atol=1e-12,
+                                       err_msg=f"Xbar phase {i}")
+            np.testing.assert_allclose(Ub[t:t + h], ph.Ubar, atol=1e-12,
+                                       err_msg=f"Ubar phase {i}")
+            np.testing.assert_allclose(Kf[t:t + h], ph.K, atol=1e-12,
+                                       err_msg=f"K phase {i}")
+            np.testing.assert_allclose(rd[t:t + h], ph.reb_delta, atol=1e-12,
+                                       err_msg=f"reb_delta phase {i}")
+            np.testing.assert_allclose(al_s[t + h], ph.al_sigma, atol=1e-12,
+                                       err_msg=f"al_sigma phase {i}")
+            np.testing.assert_allclose(al_l[t + h], ph.al_lambda, atol=1e-12,
+                                       err_msg=f"al_lambda phase {i}")
+            t += h + 1
+
+    def check_solve(res, nsolver, out):
+        ct = np.asarray(res.cost_trace)
+        ct = ct[~np.isnan(ct)]
+        assert len(ct) == len(nsolver.cost_trace), (ct, nsolver.cost_trace)
+        np.testing.assert_allclose(ct, nsolver.cost_trace, rtol=1e-6,
+                                   atol=1e-8)
+        ft = np.asarray(res.feas_trace)[: len(ct)]
+        np.testing.assert_allclose(ft, nsolver.feas_trace, rtol=1e-5,
+                                   atol=1e-8)
+        et = np.asarray(res.eqn_trace)[: len(ct)]
+        np.testing.assert_allclose(et, nsolver.eqn_trace, rtol=1e-5,
+                                   atol=1e-8)
+        assert abs(float(res.cost) - out["cost"]) < 1e-6 * max(1.0,
+                                                               out["cost"])
+        U_flat = np.asarray(res.state.Ubar)
+        t = 0
+        for ph in mpc.phases:
+            np.testing.assert_allclose(U_flat[t:t + ph.horizon], ph.Ubar,
+                                       rtol=1e-5, atol=1e-6)
+            t += ph.horizon + 1
+
+    # cold solve (full caps)
+    prob, state = pb.build(x0)
+    check_warm_start(state)
+    res = ddp.solve_jit(prob, state, opt, pb.all_shooting())
+    pb.unflatten(res.state)
+    nsolver, out = mpc.solve(np.asarray(x0, float), opt)
+    assert not out["failed"]
+    check_solve(res, nsolver, out)
+
+    # N warm-started MPC re-solves under runtime caps; drive enough steps
+    # that the front phase pops, the back phase grows AND a new phase is
+    # appended (the quirkiest code in the reference)
+    optr = opt.runtime()
+    popped = appended = False
+
+    def structure_match(step):
+        assert len(mpc.phases) == len(pb.phases)
+        for ph_n, ph_f in zip(mpc.phases, pb.phases):
+            assert ph_n.horizon == ph_f.horizon, (step, "horizon")
+            np.testing.assert_array_equal(ph_n.contact, ph_f.contact)
+            np.testing.assert_array_equal(ph_n.td_mask, ph_f.td_mask)
+
+    # fast-forward (bookkeeping only, structure compared every step) until
+    # the front phase is about to be exhausted — the solve-compare window
+    # below then straddles the front pop
+    ff = 0
+    while mpc.phases[0].horizon > 2:
+        back_before = id(mpc.phases[-1])
+        pb.update(1)
+        mpc.update(1)
+        appended = appended or id(mpc.phases[-1]) != back_before
+        ff += 1
+        structure_match(("ff", ff))
+        assert ff < 100
+
+    for step in range(12):
+        uid_front = id(mpc.phases[0])
+        back_before = id(mpc.phases[-1])
+        pb.update(1)
+        mpc.update(1)
+        popped = popped or id(mpc.phases[0]) != uid_front
+        appended = appended or id(mpc.phases[-1]) != back_before
+        structure_match(step)
+
+        x_meas = mpc.phases[0].Xbar[0].copy()
+        prob, state = pb.build(x_meas)
+        check_warm_start(state)
+        res = ddp.solve_jit(prob, state, optr, pb.all_shooting())
+        pb.unflatten(res.state)
+        nsolver, out = mpc.solve(x_meas, optr)
+        assert not out["failed"]
+        check_solve(res, nsolver, out)
+    assert popped, "test must exercise a front-phase pop"
+    assert appended, "test must exercise a phase append"
+
+
 def test_flattened_solver_matches_naive_reference():
     # 0.45 s horizon: stand, two-leg stance, flight (touchdown constraints +
     # reset maps), two-leg stance — all solver paths exercised
