@@ -313,7 +313,7 @@ def running_partials_tbatch(prob, X, U, constr, reb_active: bool):
 
 
 def terminal_partial_entries(x_cols, xr_cols, fr_cols, tc, tm, td, sig, lam,
-                             one, al_active: bool = True):
+                             one, al_active: bool = True, rot=None):
     """Terminal-cost partial entries (tracking + foot reg + AL touchdown) as
     dicts — phix keyed by state index i, phixx by (i, j) — over column
     vectors of any trailing shape ((T+1,) in the XLA T-minor builder, (BB,)
@@ -361,7 +361,7 @@ def terminal_partial_entries(x_cols, xr_cols, fr_cols, tc, tm, td, sig, lam,
 
     if al_active:
         eul = (x_cols[0], x_cols[1], x_cols[2])
-        R, dR, _ = _rot_entries(eul)
+        R, dR, _ = rot if rot is not None else _rot_entries(eul)
         pos = [x_cols[3], x_cols[4], x_cols[5]]
         for l in range(4):
             mask = tm * td[l]

@@ -83,17 +83,19 @@ def _leg_fk_entries(qcols, leg):
     return p, J
 
 
-def dyn_jac_entries(xcols, ucols, c, z, one):
+def dyn_jac_entries(xcols, ucols, c, z, one, rot=None):
     """Sparse entries of the continuous-part jacobians for the HKD dynamics
     (the discrete step is A = I + dt*dynA, B = dt*dynB).
 
     xcols/ucols: 24 column vectors each (any trailing shape — (T,) in the
     XLA T-minor builder, (BB,) inside the Pallas kernel); c: 4 contact
-    vectors; z/one: matching zero/one vectors. Returns (dynA, dynB) dicts
+    vectors; z/one: matching zero/one vectors; rot: optional precomputed
+    _rot_entries(eul) so callers evaluating several entry sets at the same
+    state share one rotation chain. Returns (dynA, dynB) dicts
     {(i, j): vec}. Single definition site shared by build_AB_tminor and the
     in-kernel jacobian path, so they cannot drift."""
     eul = (xcols[0], xcols[1], xcols[2])
-    R, dR, trig = _rot_entries(eul)
+    R, dR, trig = rot if rot is not None else _rot_entries(eul)
     cp, sp = trig["cp"], trig["sp"]
     cr, sr = trig["cr"], trig["sr"]
     wx, wy, wz = xcols[6], xcols[7], xcols[8]
@@ -163,12 +165,12 @@ def dyn_jac_entries(xcols, ucols, c, z, one):
     return dynA, dynB
 
 
-def reset_jac_entries(xcols, c_cur, c_next, z, one):
+def reset_jac_entries(xcols, c_cur, c_next, z, one, rot=None):
     """Sparse entries S of the reset-map jacobian deviation (Px = I + S).
     Rows 0..11 are identity (no entries). Same column-vector convention as
     dyn_jac_entries."""
     eul = (xcols[0], xcols[1], xcols[2])
-    R, dR, _ = _rot_entries(eul)
+    R, dR, _ = rot if rot is not None else _rot_entries(eul)
     qd = [[xcols[12 + 3 * l + j] for j in range(3)] for l in range(4)]
 
     S: dict = {}

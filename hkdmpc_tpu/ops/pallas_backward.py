@@ -332,7 +332,7 @@ def _mat_from_entries(entries, like):
          for i in range(24)], axis=0)
 
 
-def _phi_dense(xcols, xr_cols, fr_cols, tctx, z, one):
+def _phi_dense(xcols, xr_cols, fr_cols, tctx, z, one, rot=None):
     """Dense (phix (24, BB), phixx (24, 24, BB)) terminal partials at one
     node from its packed terminal context slab tctx (17, BB):
     rows 0:4 term_contact, 4:8 td_mask, 8:12 al_sigma, 12:16 al_lambda,
@@ -346,14 +346,14 @@ def _phi_dense(xcols, xr_cols, fr_cols, tctx, z, one):
     lam = [tctx[12 + l] for l in range(4)]
     tm = tctx[16]
     phix_e, phixx_e = terminal_partial_entries(
-        xcols, xr_cols, fr_cols, tc, tm, td, sig, lam, one)
+        xcols, xr_cols, fr_cols, tc, tm, td, sig, lam, one, rot=rot)
     return _vec_from_entries(phix_e, z), _mat_from_entries(phixx_e, z)
 
 
 def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
                 tctx_ref, rbd_ref, rbe_ref, dnext_ref,
                 XT_ref, xrT_ref, frT_ref, tctxT_ref,
-                isdyn_ref, isrst_ref, islast_ref,
+                isdyn_ref, isrst_ref, islast_ref, islastc_ref,
                 reg_ref, dt_ref,
                 K_ref, dU_ref, dv1_ref, dv2_ref, ok_ref,
                 G_s, H_s, dv1_s, dv2_s, ok_s, W_s, Px_s, Pxx_s):
@@ -384,9 +384,21 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
 
     is_dyn = isdyn_ref[0, 0]     # (BB,)
     is_rst = isrst_ref[0, 0]
-    is_last = islast_ref[0, 0]
+    is_last = islast_ref[0, 0]       # is_last[t+1]: this step's seed mask
+    is_last_c = islastc_ref[0, 0]    # is_last[t]: next step needs phi(t)
     reg = reg_ref[0]
     dtv = dt_ref[0]
+
+    # per-kind block predicates: a grid step only pays for the transition
+    # kinds actually present in its 128 lanes. Uniform-schedule fleets
+    # (replicated gait, perturbed x0 — the bench workload) skip the whole
+    # Riccati sweep on pad/reset steps and the phi/FK block on the ~90% of
+    # steps that neither reset nor seed; mixed batches degrade gracefully
+    # to computing every branch. Round 3 measured this skip DMA-neutral;
+    # after the slab diet the steps are compute-bound and it pays.
+    any_dyn = jnp.max(is_dyn) > 0.0
+    any_rst = jnp.max(is_rst) > 0.0
+    any_phi = jnp.logical_or(any_rst, jnp.max(is_last_c) > 0.0)
 
     x = X_ref[0]                 # (24, BB) source-node state
     u = U_ref[0]
@@ -400,133 +412,150 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     z = jnp.zeros_like(xcols[0])
     one = jnp.ones_like(xcols[0])
 
-    dynA, dynB = dyn_jac_entries(xcols, ucols, cc, z, one)
-    S = reset_jac_entries(xcols, cc, ccn, z, one)
-    edA = {k: dtv * v for k, v in dynA.items()}
-    edB = {k: dtv * v for k, v in dynB.items()}
+    from hkdmpc_tpu.ops.jac_tminor import _rot_entries
+    rot = _rot_entries((xcols[0], xcols[1], xcols[2]))
 
-    # ---- running cost partials, in-kernel (was: lxx/luu/lx/lu slabs) -----
     xr = xr_ref[0]               # (24, BB) reference at the source node
-    ur = ur_ref[0]
     fr = fr_ref[0]               # (12, BB)
-    rbd = rbd_ref[0]             # (20, BB) ReB delta rows
-    rbe = rbe_ref[0]             # (20, BB) ReB eps rows (zeros = ReB off)
     xr_cols = [xr[i] for i in range(24)]
     fr_cols = [fr[i] for i in range(12)]
-    mdt = is_dyn * dtv
-    d1c, d2c = [], []
-    for l in range(4):
-        fx, fy, fz = ucols[3 * l], ucols[3 * l + 1], ucols[3 * l + 2]
-        grows = [fz, -fx + _MU * fz, fx + _MU * fz, -fy + _MU * fz,
-                 fy + _MU * fz]
-        for k in range(5):
-            r = 5 * l + k
-            a1, a2 = reb_derivs(grows[k], rbd[r], rbe[r])
-            d1c.append(cc[l] * a1)
-            d2c.append(cc[l] * a2)
-    lx_e, lu_e, lxx_e, luu_e = running_partial_entries(
-        xcols, ucols, xr_cols, [ur[i] for i in range(24)], fr_cols,
-        cc, mdt, d1c, d2c)
 
-    # ---- terminal partials at the source node, in-kernel (was: the two
-    # (T+1, 24, 24) phixx + (T+1, 24) phix input slabs — the ledger's last
-    # big per-step DMA item). phi(t) feeds this step's RESET seed; the
-    # is_last seed at step t needs phi(t+1), which the PREVIOUS grid step
-    # (t+1) stashed in Px_s/Pxx_s (ti==0 stashes phi(T) above). ------------
-    phix_t, phixx_t = _phi_dense(xcols, xr_cols, fr_cols, tctx_ref[0],
-                                 z, one)
-
+    # seed reads the stash BEFORE this step's phi overwrites it
     H = H_s[...] + is_last[None, None, :] * Pxx_s[...]
     G = G_s[...] + is_last[None, :] * Px_s[...]
     dnext = dnext_ref[0]
     Gn = G + jnp.sum(H * dnext[None, :, :], axis=1)
 
-    # ---- DYN quadratic expansion, sparse ---------------------------------
-    HA = H + _sparse_post(H, edA)            # H @ (I + dt DA)
-    AtHA = HA + _sparse_pre(HA, edA)
-    Qux = _sparse_pre(HA, edB)               # B^T H A
-    HB = _sparse_post(H, edB)
-    BtHB = _sparse_pre(HB, edB)
-    AtGn = Gn + _sparse_pre_vec(Gn, edA)
-    BtGn = _sparse_pre_vec(Gn, edB)
+    # ---- terminal partials at the source node, in-kernel (was: the two
+    # (T+1, 24, 24) phixx + (T+1, 24) phix input slabs). phi(t) feeds this
+    # step's RESET seed and the NEXT grid step's is_last seed via the
+    # stash (ti==0 stashes phi(T) above); computed only when some lane
+    # resets here or has node t as its last active node. -------------------
+    @pl.when(any_phi)
+    def _():
+        phix_t, phixx_t = _phi_dense(xcols, xr_cols, fr_cols, tctx_ref[0],
+                                     z, one, rot=rot)
+        Px_s[...] = phix_t
+        Pxx_s[...] = phixx_t
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 1)
-    eye24 = (ii == jj).astype(jnp.float32)[:, :, None]
+    # ---- DYN branch: jacobian entries + running partials + quadratic
+    # expansion + split-sweep Riccati step --------------------------------
+    @pl.when(any_dyn)
+    def _():
+        dynA, dynB = dyn_jac_entries(xcols, ucols, cc, z, one, rot=rot)
+        edA = {k: dtv * v for k, v in dynA.items()}
+        edB = {k: dtv * v for k, v in dynB.items()}
 
-    Qx = _vec_from_entries(lx_e, z) + AtGn
-    Qu = _vec_from_entries(lu_e, z) + BtGn
-    Qxx = _entries_add(AtHA, lxx_e) + reg[None, None, :] * eye24
-    Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
-    Quu = _entries_add(BtHB, luu_e) + reg[None, None, :] * eye24
+        # running cost partials, in-kernel (was: lxx/luu/lx/lu slabs)
+        ur = ur_ref[0]
+        rbd = rbd_ref[0]             # (20, BB) ReB delta rows
+        rbe = rbe_ref[0]             # (20, BB) ReB eps rows (zeros = off)
+        mdt = is_dyn * dtv
+        d1c, d2c = [], []
+        for l in range(4):
+            fx, fy, fz = ucols[3 * l], ucols[3 * l + 1], ucols[3 * l + 2]
+            grows = [fz, -fx + _MU * fz, fx + _MU * fz, -fy + _MU * fz,
+                     fy + _MU * fz]
+            for k in range(5):
+                r = 5 * l + k
+                a1, a2 = reb_derivs(grows[k], rbd[r], rbe[r])
+                d1c.append(cc[l] * a1)
+                d2c.append(cc[l] * a2)
+        lx_e, lu_e, lxx_e, luu_e = running_partial_entries(
+            xcols, ucols, xr_cols, [ur[i] for i in range(24)], fr_cols,
+            cc, mdt, d1c, d2c)
 
-    # ---- forward elimination + back-substitution on [Quu | Qux | Qu] -----
-    # Gaussian elimination touches only the rows BELOW each pivot (the
-    # Gauss-Jordan sweep it replaced updated all 24 every time), and the
-    # 25 RHS columns are recovered by back-substitution — about half the
-    # serially-dependent work. Pivot values (and thus the PSD gate) are
-    # identical to the Jordan sweep up to per-op rounding: both apply the
-    # same row-k update from each earlier pivot, but the update orders
-    # differ at the ulp level, so the d>1e-9 PSD gate can in principle flip
-    # on borderline pivots between the two kernels — do not rely on
-    # bit-exact gate agreement across kernels.
-    W_s[...] = jnp.zeros_like(W_s)
-    W_s[:, 0:24, :] = Quu
-    W_s[:, 24:48, :] = Qux
-    W_s[:, 48, :] = Qu
+        HA = H + _sparse_post(H, edA)            # H @ (I + dt DA)
+        AtHA = HA + _sparse_pre(HA, edA)
+        Qux = _sparse_pre(HA, edB)               # B^T H A
+        HB = _sparse_post(H, edB)
+        BtHB = _sparse_pre(HB, edB)
+        AtGn = Gn + _sparse_pre_vec(Gn, edA)
+        BtGn = _sparse_pre_vec(Gn, edB)
 
-    ok = jnp.ones_like(reg)
-    for k in range(24):
-        row = W_s[k]                  # (49, BB)
-        d = row[k]
-        ok = ok * (d > 1e-9).astype(jnp.float32)
-        d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
-        if k < 23:
-            below = W_s[k + 1:24]     # (23-k, 49, BB)
-            fac = below[:, k, :] / d_safe[None, :]
-            W_s[k + 1:24] = below - fac[:, None, :] * row[None, :, :]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 1)
+        eye24 = (ii == jj).astype(jnp.float32)[:, :, None]
 
-    W = W_s[...]
-    S_rows = [None] * 24
-    for i in range(23, -1, -1):
-        acc = W[i, 24:49, :]          # (25, BB) transformed RHS row
-        for j in range(i + 1, 24):
-            acc = acc - W[i, j][None, :] * S_rows[j]
-        di = W[i, i]
-        di_safe = jnp.where(jnp.abs(di) > 1e-30, di, 1.0)
-        S_rows[i] = acc / di_safe[None, :]
-    Sfull = jnp.stack(S_rows, axis=0)     # (24, 25, BB) = Quu^-1 [Qux | Qu]
-    Sw = Sfull[:, 0:24, :]
-    sv = Sfull[:, 24, :]
-    Kd = -Sw
-    dUd = -sv
-    Hd = Qxx - _xtc(Qux, Sw)
-    Hd = 0.5 * (Hd + Hd.transpose(1, 0, 2))
-    Gd = Qx - jnp.sum(Qux * sv[:, None, :], axis=0)
-    dv = jnp.sum(Qu * sv, axis=0)
+        Qx = _vec_from_entries(lx_e, z) + AtGn
+        Qu = _vec_from_entries(lu_e, z) + BtGn
+        Qxx = _entries_add(AtHA, lxx_e) + reg[None, None, :] * eye24
+        Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
+        Quu = _entries_add(BtHB, luu_e) + reg[None, None, :] * eye24
 
-    # ---- RESET path: Px = I + S, sparse sandwich -------------------------
-    HS = _sparse_post(H, S)
-    M = H + HS
-    Hr = phixx_t + M + _sparse_pre(M, S)
-    Gr = phix_t + Gn + _sparse_pre_vec(Gn, S)
+        # forward elimination + back-substitution on [Quu | Qux | Qu]:
+        # Gaussian elimination touches only the rows BELOW each pivot (the
+        # Gauss-Jordan sweep it replaced updated all 24 every time), and
+        # the 25 RHS columns are recovered by back-substitution — about
+        # half the serially-dependent work. Pivot values (and thus the PSD
+        # gate) are identical to the Jordan sweep up to per-op rounding:
+        # both apply the same row-k update from each earlier pivot, but
+        # the update orders differ at the ulp level, so the d>1e-9 PSD
+        # gate can in principle flip on borderline pivots between the two
+        # kernels — do not rely on bit-exact gate agreement across kernels.
+        W_s[...] = jnp.zeros_like(W_s)
+        W_s[:, 0:24, :] = Quu
+        W_s[:, 24:48, :] = Qux
+        W_s[:, 48, :] = Qu
 
-    is_pad = 1.0 - is_dyn - is_rst
-    G_s[...] = (is_dyn[None, :] * Gd + is_rst[None, :] * Gr
-                + is_pad[None, :] * G)
-    H_s[...] = (is_dyn[None, None, :] * Hd + is_rst[None, None, :] * Hr
-                + is_pad[None, None, :] * H)
+        ok = jnp.ones_like(reg)
+        for k in range(24):
+            row = W_s[k]                  # (49, BB)
+            d = row[k]
+            ok = ok * (d > 1e-9).astype(jnp.float32)
+            d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+            if k < 23:
+                below = W_s[k + 1:24]     # (23-k, 49, BB)
+                fac = below[:, k, :] / d_safe[None, :]
+                W_s[k + 1:24] = below - fac[:, None, :] * row[None, :, :]
 
-    K_ref[0] = is_dyn[None, None, :] * Kd
-    dU_ref[0] = is_dyn[None, :] * dUd
-    dv1_s[...] = dv1_s[...] - is_dyn[None, :] * dv[None, :]
-    dv2_s[...] = dv2_s[...] + is_dyn[None, :] * dv[None, :]
-    ok_s[...] = ok_s[...] * jnp.where(is_dyn[None, :] > 0, ok[None, :], 1.0)
+        W = W_s[...]
+        S_rows = [None] * 24
+        for i in range(23, -1, -1):
+            acc = W[i, 24:49, :]          # (25, BB) transformed RHS row
+            for j in range(i + 1, 24):
+                acc = acc - W[i, j][None, :] * S_rows[j]
+            di = W[i, i]
+            di_safe = jnp.where(jnp.abs(di) > 1e-30, di, 1.0)
+            S_rows[i] = acc / di_safe[None, :]
+        Sfull = jnp.stack(S_rows, axis=0)  # (24, 25, BB) = Quu^-1 [Qux|Qu]
+        Sw = Sfull[:, 0:24, :]
+        sv = Sfull[:, 24, :]
+        Hd = Qxx - _xtc(Qux, Sw)
+        Hd = 0.5 * (Hd + Hd.transpose(1, 0, 2))
+        Gd = Qx - jnp.sum(Qux * sv[:, None, :], axis=0)
+        dv = jnp.sum(Qu * sv, axis=0)
 
-    # stash phi(t) for the NEXT grid step's is_last seed (step t-1 needs
-    # phi at node t)
-    Px_s[...] = phix_t
-    Pxx_s[...] = phixx_t
+        K_ref[0] = is_dyn[None, None, :] * (-Sw)
+        dU_ref[0] = is_dyn[None, :] * (-sv)
+        G_s[...] = is_dyn[None, :] * Gd + (1.0 - is_dyn[None, :]) * G
+        H_s[...] = (is_dyn[None, None, :] * Hd
+                    + (1.0 - is_dyn[None, None, :]) * H)
+        dv1_s[...] = dv1_s[...] - is_dyn[None, :] * dv[None, :]
+        dv2_s[...] = dv2_s[...] + is_dyn[None, :] * dv[None, :]
+        ok_s[...] = ok_s[...] * jnp.where(is_dyn[None, :] > 0,
+                                          ok[None, :], 1.0)
+
+    @pl.when(jnp.logical_not(any_dyn))
+    def _():
+        K_ref[0] = jnp.zeros_like(K_ref[0])
+        dU_ref[0] = jnp.zeros_like(dU_ref[0])
+        # pad-only lanes carry (G, H) through; the seeded H == carry here
+        # because a lane's seed step is always its last ACTIVE transition
+        G_s[...] = G
+        H_s[...] = H
+
+    # ---- RESET branch: Px = I + S, sparse sandwich + phi(t) seed --------
+    @pl.when(any_rst)
+    def _():
+        S = reset_jac_entries(xcols, cc, ccn, z, one, rot=rot)
+        HS = _sparse_post(H, S)
+        M = H + HS
+        Hr = Pxx_s[...] + M + _sparse_pre(M, S)
+        Gr = Px_s[...] + Gn + _sparse_pre_vec(Gn, S)
+        G_s[...] = is_rst[None, :] * Gr + (1.0 - is_rst[None, :]) * G_s[...]
+        H_s[...] = (is_rst[None, None, :] * Hr
+                    + (1.0 - is_rst[None, None, :]) * H_s[...])
 
     dv1_ref[0] = dv1_s[0]
     dv2_ref[0] = dv2_s[0]
@@ -583,7 +612,8 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
     is_rst = bm((kind_b == RESET).astype(jnp.float32))[:, None, :]
     node_idx = jnp.arange(T + 1)[None, :]
     is_last = bm((node_idx == last_node_b[:, None]).astype(jnp.float32))
-    is_last_t = is_last[1:][:, None, :]
+    is_last_t = is_last[1:][:, None, :]    # is_last[t+1] at grid step t
+    is_last_c = is_last[:-1][:, None, :]   # is_last[t] at grid step t
 
     reg_m = jnp.pad(
         jnp.broadcast_to(jnp.asarray(reg, jnp.float32), (Bt,)),
@@ -621,6 +651,7 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
             pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),   # lastc
             pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # reg
             pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # dt
         ],
@@ -655,7 +686,8 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
         ],
         interpret=interpret,
     )(X_m, U_m, c_m, cn_m, xr_m, ur_m, fr_m, tctx_m, rbd_m, rbe_m, d_m,
-      X_m, xr_m, fr_m, tctx_m, is_dyn, is_rst, is_last_t, reg_m, dt_m)
+      X_m, xr_m, fr_m, tctx_m, is_dyn, is_rst, is_last_t, is_last_c,
+      reg_m, dt_m)
 
     K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
     dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]

@@ -47,10 +47,10 @@ def main():
     prob_b, state_b = jax.device_put((prob_b, state_b))
 
     base = lambda: ddp.solve_batch(prob_b, state_b, opt_rt, True,
-                                   pallas_backward=True)
+                                   kernel_jac=True)
     al0 = lambda: ddp.solve_batch(
         prob_b, state_b, dataclasses.replace(opt_rt, max_AL_iter=0), True,
-        pallas_backward=True)
+        kernel_jac=True)
     ident = jax.jit(lambda p, s: jax.tree_util.tree_map(lambda a: a + 0.0,
                                                         (p, s)))
 

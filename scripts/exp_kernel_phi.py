@@ -15,7 +15,10 @@ Run ONE process at a time (tunnel contention).
 """
 import dataclasses
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
