@@ -71,7 +71,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           assoc_linear: bool = False, aug_sweep: bool = True,
           pallas_backward: bool = False,
           jvp_linear: bool = False,
-          kernel_jac: bool = False) -> SolveResult:
+          kernel_jac: bool = False,
+          unroll_caps: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -257,6 +258,10 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
                   failed=bw_failed, it_total=c["it_total"] + 1)
         return c2, reg_new, stop_inner
 
+    def tree_where(pred, a, b):
+        return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y),
+                                      a, b)
+
     def outer_body(c):
         c = dict(c, maxt_prev=c["maxt"], maxp_prev=c["maxp"],
                  iter_ou=c["iter_ou"] + 1)
@@ -271,9 +276,20 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
             cc2, reg2, stop2 = inner_body(cc, reg)
             return cc2, reg2, stop2, iter_in + 1
 
-        c, _, _, _ = lax.while_loop(
-            inner_cond, inner_step,
-            (c, jnp.zeros((), dtype), jnp.array(False), jnp.array(0, jnp.int32)))
+        ic0 = (c, jnp.zeros((), dtype), jnp.array(False),
+               jnp.array(0, jnp.int32))
+        if unroll_caps:
+            # statically unrolled inner loop: every iteration's body is
+            # computed and masked out where the while_loop would not have
+            # run it — decision-identical, but XLA sees one straight-line
+            # program (cross-iteration CSE of loop-invariant work, no
+            # dynamic-trip-count scheduling barriers)
+            ic = ic0
+            for _ in range(int(opt.max_DDP_iter)):
+                ic = tree_where(inner_cond(ic), inner_step(ic), ic)
+            c = ic[0]
+        else:
+            c, _, _, _ = lax.while_loop(inner_cond, inner_step, ic0)
 
         # AL / ReB parameter updates (skipped entirely on bad solve)
         constr = c["state"].constr
@@ -306,7 +322,12 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
         return jnp.logical_and(c["iter_ou"] < opt.max_AL_iter,
                                jnp.logical_not(c["stop"]))
 
-    c = lax.while_loop(outer_cond, outer_body, carry0)
+    if unroll_caps:
+        c = carry0
+        for _ in range(int(opt.max_AL_iter)):
+            c = tree_where(outer_cond(c), outer_body(c), c)
+    else:
+        c = lax.while_loop(outer_cond, outer_body, carry0)
 
     return SolveResult(
         state=c["state"], cost=c["cost"], dyn_feas=c["feas"],
@@ -321,7 +342,7 @@ solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "jvp_linear",
-                     "kernel_jac"))
+                     "kernel_jac", "unroll_caps"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes.
 # Only (prob, state) are vmapped; every flag is a keyword-defaulted static
@@ -329,10 +350,10 @@ solve_jit = jax.jit(
 # call site on a stale in_axes tuple again (round-1 regression).
 def _solve_batch(prob, state, opt, parallel_rollout=False, model=None,
                  assoc_linear=False, aug_sweep=True, pallas_backward=False,
-                 jvp_linear=False, kernel_jac=False):
+                 jvp_linear=False, kernel_jac=False, unroll_caps=False):
     fn = lambda p, s: solve(p, s, opt, parallel_rollout, model, assoc_linear,
                             aug_sweep, pallas_backward, jvp_linear,
-                            kernel_jac)
+                            kernel_jac, unroll_caps)
     return jax.vmap(fn)(prob, state)
 
 
@@ -340,4 +361,4 @@ solve_batch = jax.jit(
     _solve_batch,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "jvp_linear",
-                     "kernel_jac"))
+                     "kernel_jac", "unroll_caps"))

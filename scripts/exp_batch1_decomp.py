@@ -78,6 +78,21 @@ def main():
         print(f"{name:8s} {ms:7.2f} ms/solve (compile {comp:.0f}s)",
               flush=True)
 
+    # backward-scan unroll variants (amortize per-step scan overhead):
+    # monkeypatching SCAN_UNROLL changes the traced program, so clear the
+    # jit cache once per variant to force a retrace
+    from hkdmpc_tpu.solver import backward as bw_mod
+
+    run_assoc = loop(lambda: ddp.solve_jit(prob, state, optr, True,
+                                           assoc_linear=True))
+    for n in (2, 5):
+        bw_mod.SCAN_UNROLL = n
+        ddp.solve_jit.clear_cache()
+        ms, comp = bench(run_assoc, k=k)
+        print(f"assoc_u{n} {ms:7.2f} ms/solve (compile {comp:.0f}s)",
+              flush=True)
+    bw_mod.SCAN_UNROLL = 1
+
 
 if __name__ == "__main__":
     main()

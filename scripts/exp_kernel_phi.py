@@ -25,6 +25,7 @@ def main():
     kbb = int(os.environ.get("KBB", "128"))
     kb = int(os.environ.get("KB", "1024"))
     reps = int(os.environ.get("KREPS", "5"))
+    unroll = os.environ.get("KUNROLL", "0") == "1"
 
     import hkdmpc_tpu.ops.pallas_backward as pbk
     pbk.BB = kbb
@@ -45,7 +46,7 @@ def main():
 
     def run():
         r = ddp.solve_batch(prob_b, state_b, opt, parallel_rollout=True,
-                            kernel_jac=True)
+                            kernel_jac=True, unroll_caps=unroll)
         r.cost.block_until_ready()
         return r
 
@@ -60,7 +61,7 @@ def main():
         run()
         ts.append(time.perf_counter() - t0)
     best = min(ts)
-    print(f"KBB={kbb} B={kb} best={best*1e3:.1f}ms "
+    print(f"KBB={kbb} B={kb} unroll={int(unroll)} best={best*1e3:.1f}ms "
           f"solves_per_s={kb/best:.0f} "
           f"times_ms={[round(t*1e3,1) for t in ts]}")
 

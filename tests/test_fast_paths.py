@@ -476,6 +476,55 @@ def test_kernel_jac_backward_matches_scan():
             assert err <= max(10.0 * roundoff, 1e-5), (name, err, roundoff)
 
 
+def test_unroll_caps_matches_while_loop():
+    """solve(unroll_caps=True) — statically unrolled AL/DDP loops with
+    masked discards replacing the lax.while_loops — is decision-identical
+    to the while_loop solver (same iteration count, same trace, same
+    accepted trials); values agree to XLA fusion-reassociation roundoff
+    (the two program shapes fuse reductions differently, measured ~5e-16
+    rel in f64)."""
+    pb, x0, opt = make_trot()
+    prob, state = pb.build(x0)
+    optr = opt.runtime()
+    ra = ddp.solve_jit(prob, state, optr, True, assoc_linear=True)
+    rb = ddp.solve_jit(prob, state, optr, True, assoc_linear=True,
+                       unroll_caps=True)
+    np.testing.assert_allclose(np.asarray(ra.cost), np.asarray(rb.cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ra.state.Ubar),
+                               np.asarray(rb.state.Ubar),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ra.state.K),
+                               np.asarray(rb.state.K),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(ra.n_iters),
+                                  np.asarray(rb.n_iters))
+    ct_a, ct_b = np.asarray(ra.cost_trace), np.asarray(rb.cost_trace)
+    np.testing.assert_allclose(ct_a[~np.isnan(ct_a)],
+                               ct_b[~np.isnan(ct_b)], rtol=1e-12)
+
+    # and on the batched kernel_jac production path
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    f32 = lambda x: (jnp.asarray(x, jnp.float32)
+                     if isinstance(x, jnp.ndarray) and
+                     jnp.issubdtype(x.dtype, jnp.floating) else x)
+    prob32 = jax.tree_util.tree_map(f32, prob)
+    state32 = jax.tree_util.tree_map(f32, state)
+    prob_b, state_b = replicate_problem(prob32, state32, 4)
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(5)).x0)
+    va = ddp.solve_batch(prob_b, state_b, optr, True, kernel_jac=True)
+    vb = ddp.solve_batch(prob_b, state_b, optr, True, kernel_jac=True,
+                         unroll_caps=True)
+    np.testing.assert_allclose(np.asarray(va.cost), np.asarray(vb.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(va.state.Ubar),
+                               np.asarray(vb.state.Ubar),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(va.n_iters),
+                                  np.asarray(vb.n_iters))
+
+
 def test_linear_dv_closed_matches_lq():
     """Closed-form expected-cost quadform (ops/hkd_tminor.linear_dv_tbatch,
     no materialized partial arrays) == the lq-contraction dv terms, incl.
