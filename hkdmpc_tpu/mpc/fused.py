@@ -142,9 +142,9 @@ def unpack_bundle(vec: np.ndarray, n_cmd: int) -> dict:
 
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("opt", "parallel_rollout", "n_cmd", "model",
-                          "assoc_linear"))
+                          "assoc_linear", "assoc_backward"))
 def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
-               model=None, assoc_linear=False):
+               model=None, assoc_linear=False, assoc_backward=False):
     T = state.Ubar.shape[0]
     dtype = state.Xbar.dtype
     iv = _unpack(ints, _int_layout(T, n_cmd))
@@ -215,7 +215,7 @@ def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
 
     # ---- 4. solve ----------------------------------------------------------
     res = ddp.solve(prob, new_state, opt, parallel_rollout, model,
-                    assoc_linear)
+                    assoc_linear, assoc_backward=assoc_backward)
 
     # ---- 5. command extraction (make_command walk, HKDMPC.cpp:242-298) ----
     ci = iv["cmd_idx"]

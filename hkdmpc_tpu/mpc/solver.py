@@ -46,6 +46,13 @@ class MPCConfig:
                                # 11.32 ms; scripts/exp_assoc_latency.py).
                                # Loses at saturating batch — solve_batch
                                # keeps the sequential scan.
+    assoc_backward: bool = True  # parallel-in-time Riccati backward sweep
+                                 # (ops/assoc.riccati_backward_assoc): the
+                                 # log-depth value scan cuts the batch-1
+                                 # solve 10.2 -> 8.9 ms on v5e (round 4) —
+                                 # on-chip MPC step now clears the 10 ms
+                                 # budget (HKDMPC.cpp:26-29) with margin.
+                                 # Same regime note as assoc_linear.
 
 
 @dataclasses.dataclass
@@ -137,7 +144,8 @@ class HKDMPCSolver:
         t0 = time.perf_counter()
         res = ddp.solve_jit(prob, state, self.opt,
                             self.problem.all_shooting(),
-                            assoc_linear=self.cfg.assoc_linear)
+                            assoc_linear=self.cfg.assoc_linear,
+                            assoc_backward=self.cfg.assoc_backward)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -193,7 +201,8 @@ class HKDMPCSolver:
         t0 = time.perf_counter()
         res = ddp.solve_jit(prob, state, self.opt.runtime(),
                             self.problem.all_shooting(),
-                            assoc_linear=self.cfg.assoc_linear)
+                            assoc_linear=self.cfg.assoc_linear,
+                            assoc_backward=self.cfg.assoc_backward)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -298,7 +307,8 @@ class HKDMPCSolver:
         self._state_dev, bundle = fused.fused_step(
             self._tables, self._state_dev, ints, floats,
             self.opt.runtime(), pb.all_shooting(), n,
-            assoc_linear=self.cfg.assoc_linear)
+            assoc_linear=self.cfg.assoc_linear,
+            assoc_backward=self.cfg.assoc_backward)
         self._host_stale = True
         self._pending = dict(bundle=bundle, n=n, t0=t0, times=times,
                              contacts=contacts, status=status, found=found)

@@ -1,15 +1,32 @@
-"""Parallel-in-time affine recursions via associative scan.
+"""Parallel-in-time recursions via associative scan.
 
-The multiple-shooting linear rollout is the affine chain
-dx_{t+1} = M_t dx_t + b_t (solver/rollout.linear_rollout — a 75-step
-sequential scan). Affine maps compose associatively:
-(M2, b2) o (M1, b1) = (M2 M1, M2 b1 + b2), so the whole prefix is a
-`lax.associative_scan` of depth ~log2(T) — the horizon-parallel analog of
-the sequence parallelism SURVEY §5 calls for. The expected-cost-change
-accumulations follow vectorized once dX is known.
+1. Linear rollout: the multiple-shooting search direction is the affine
+   chain dx_{t+1} = M_t dx_t + b_t (solver/rollout.linear_rollout — a
+   75-step sequential scan). Affine maps compose associatively:
+   (M2, b2) o (M1, b1) = (M2 M1, M2 b1 + b2), so the whole prefix is a
+   `lax.associative_scan` of depth ~log2(T).
 
-This trades ~T/log T more FLOPs (matmul-matmul instead of matmul-vector)
-for parallel depth — a win whenever the sequential scan is latency-bound.
+2. Riccati backward sweep (`riccati_backward_assoc`): the value recursion
+   (G, H) -> (G', H') of the backward sweep is an affine-quadratic (LFT)
+   map; such maps ALSO compose associatively when parameterized as the
+   5-tuple element (A, b, C, eta, J) meaning
+
+     H_src = J + A' H' (I + C H')^-1 A
+     G_src = eta + A' (I + H' C)^-1 (G' + H' b)
+
+   (the parallel-in-time LQR factorization of Sarkka & Garcia-Fernandez,
+   IEEE TAC 2021, adapted to this solver's defect-corrected, regularized,
+   multi-phase sweep). A suffix associative scan over the per-transition
+   elements yields the value function at EVERY node in ~log2(T) depth;
+   the gains/PSD-gate/dv extraction then runs as one vectorized pass over
+   transitions using the SAME per-step formulas as the sequential sweep
+   (solver/backward.backward_sweep dyn_branch), so decisions match up to
+   float reassociation. This is the horizon-parallel analog SURVEY §5
+   calls for, on the backward half.
+
+Both trade ~T/log T more FLOPs for parallel depth — a win whenever the
+sequential scan is latency-bound (the batch-1 MPC step), never at
+saturating batch (the chip is already full of scenarios).
 
 All products go through ops/precise (VPU f32): the repo's no-MXU policy
 (DESIGN.md §3c) applies here too — the log-depth composition squares the
@@ -19,10 +36,12 @@ the sequential scan it replaces.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from hkdmpc_tpu.ops import precise
+from hkdmpc_tpu.ops.linalg import sweep_inverse
 from hkdmpc_tpu.solver.structs import DYN, PAD, RESET, LQData
 
 
@@ -83,3 +102,174 @@ def linear_rollout_assoc(prob, state, lq: LQData, defect, eps):
     dv1 = dv1 + jnp.sum(lq.phix[last] * dxl)
     dv2 = dv2 + precise.quad(dxl, lq.phixx[last], dxl)
     return dX, dv1, dv2
+
+
+# ---------------------------------------------------------------------------
+# parallel-in-time Riccati backward sweep
+# ---------------------------------------------------------------------------
+
+
+def _gauss_solve(M, R):
+    """Solve M X = R for general (non-symmetric) M (..., n, n),
+    R (..., n, m): pivot-free Gaussian elimination + back substitution,
+    statically unrolled over n. The combine's M = I + C J (C, J PSD) is a
+    product of PSDs shifted by I — well-conditioned without pivoting, the
+    same no-pivot discipline as the Riccati sweeps."""
+    n = M.shape[-1]
+    W = jnp.concatenate([M, R], axis=-1)
+    rows = [W[..., i, :] for i in range(n)]
+    for k in range(n):
+        piv = rows[k][..., k]
+        piv = jnp.where(jnp.abs(piv) > 1e-30, piv, 1.0)
+        rk = rows[k] / piv[..., None]
+        rows[k] = rk
+        for i in range(k + 1, n):
+            rows[i] = rows[i] - rows[i][..., k][..., None] * rk
+    X = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = rows[i][..., n:]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][..., j][..., None] * X[j]
+        X[i] = acc
+    return jnp.stack(X, axis=-2)
+
+
+def _mT(M):
+    return jnp.swapaxes(M, -1, -2)
+
+
+def combine_value_maps(e1, e2):
+    """Compose two backward value-map elements: e = e1 o e2 with e2 CLOSER
+    TO THE TERMINAL (applied first). Element (A, b, C, eta, J) as in the
+    module docstring. Uses (I + J2 C1) = (I + C1 J2)' for symmetric C/J,
+    so one factorization serves both halves."""
+    A1, b1, C1, h1, J1 = e1
+    A2, b2, C2, h2, J2 = e2
+    n = A1.shape[-1]
+    eye = jnp.eye(n, dtype=A1.dtype)
+    M = eye + precise.mm(C1, J2)
+    # sign note: with V(x) = 0.5 x'Hx + G'x (G = -eta of the Sarkka paper
+    # convention), the offset combine picks up b1 MINUS C1 h2
+    rhs = jnp.concatenate(
+        [A1, C1, (b1 - precise.mv(C1, h2))[..., None]], axis=-1)
+    X = _gauss_solve(M, rhs)
+    ZA1 = X[..., :n]
+    ZC1 = X[..., n:2 * n]
+    Zb = X[..., 2 * n]
+    A = precise.mm(A2, ZA1)
+    b = b2 + precise.mv(A2, Zb)
+    C = C2 + precise.mm(A2, precise.mm(ZC1, _mT(A2)))
+    C = 0.5 * (C + _mT(C))
+    J = J1 + precise.mm(_mT(ZA1), precise.mm(J2, A1))
+    J = 0.5 * (J + _mT(J))
+    h = h1 + precise.mv(_mT(ZA1), h2 + precise.mv(J2, b1))
+    return A, b, C, h, J
+
+
+def apply_value_map(e, G, H):
+    """Apply an element to value params (G, H) at its far end — reference
+    semantics for tests (and the definition the combine must satisfy)."""
+    A, b, C, h, J = e
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    # H(I+CH)^{-1}A: solve (I + C H) X = A, then H X
+    X = _gauss_solve(eye + precise.mm(C, H), A)
+    Hs = J + precise.mm(_mT(A), precise.mm(H, X))
+    Y = _gauss_solve(eye + precise.mm(H, C),
+                     (G + precise.mv(H, b))[..., None])[..., 0]
+    Gs = h + precise.mv(_mT(A), Y)
+    return Gs, 0.5 * (Hs + _mT(Hs))
+
+
+def riccati_backward_assoc(prob, lq: LQData, defect, reg, last_node):
+    """Parallel-in-time backward sweep: same interface/semantics as the
+    sequential riccati_backward (dU, K, dv1, dv2, ok) — defect-corrected,
+    regularized, with the reference's PSD gate — but the value recursion
+    runs as a log-depth associative scan over LFT elements, and the
+    gain/dv/PSD extraction as one vectorized pass reusing the sequential
+    step's formulas. Requires materialized LQData (A/B + partials) and a
+    positive-definite luu + reg*I (true for the HKD costs: R diag > 0).
+
+    Latency path only: at saturating batch the extra FLOPs lose; the
+    Pallas kernel owns that regime."""
+    dtype = defect.dtype
+    T = prob.T
+    nx = lq.phix.shape[-1]
+    nu = lq.lu.shape[-1]
+    eye_x = jnp.eye(nx, dtype=dtype)
+    eye_u = jnp.eye(nu, dtype=dtype)
+
+    is_dyn = (prob.kind == DYN)
+    is_rst = (prob.kind == RESET)
+    dyn_f = is_dyn.astype(dtype)[:, None]
+
+    # ---- leaf elements per transition -----------------------------------
+    R = lq.luu + reg * eye_u                      # (T, nu, nu)
+    Rinv, _ = jax.vmap(sweep_inverse)(R)
+    Rinv = 0.5 * (Rinv + _mT(Rinv))
+    BRi = precise.mm(lq.B, Rinv)                  # (T, nx, nu)
+    C_dyn = precise.mm(BRi, _mT(lq.B))
+    b_dyn = defect[1:] - precise.mv(BRi, lq.lu)
+    J_dyn = lq.lxx + reg * eye_x
+
+    zmat = jnp.zeros((T, nx, nx), dtype)
+    zvec = jnp.zeros((T, nx), dtype)
+    eye_b = jnp.broadcast_to(eye_x, (T, nx, nx))
+
+    dyn_m = is_dyn[:, None, None]
+    rst_m = is_rst[:, None, None]
+    A_e = jnp.where(dyn_m, lq.A, jnp.where(rst_m, lq.A, eye_b))
+    b_e = jnp.where(dyn_m[:, :, 0], b_dyn,
+                    jnp.where(rst_m[:, :, 0], defect[1:], zvec))
+    C_e = jnp.where(dyn_m, C_dyn, zmat)
+    h_e = jnp.where(dyn_m[:, :, 0], lq.lx,
+                    jnp.where(rst_m[:, :, 0], lq.phix[:T], zvec))
+    J_e = jnp.where(dyn_m, J_dyn, jnp.where(rst_m, lq.phixx[:T], zmat))
+
+    # fold the last-node terminal seed into the owning leaf: element t
+    # composes with the pure-quadratic seed S_{t+1} = (I, 0, 0, phi_x m,
+    # phi_xx m) exactly where the sequential sweep adds it (is_last[t+1])
+    node_idx = jnp.arange(T + 1)
+    is_last_n = (node_idx == last_node).astype(dtype)
+    m_next = is_last_n[1:]                        # (T,)
+    seed = (eye_b, zvec, zmat,
+            m_next[:, None] * lq.phix[1:],
+            m_next[:, None, None] * lq.phixx[1:])
+    leaves = combine_value_maps((A_e, b_e, C_e, h_e, J_e), seed)
+
+    # ---- suffix scan: out[t] = V_t = (M_t o ... o M_{T-1})(0). With
+    # reverse=True the scan presents the LATER transition as the left
+    # operand, so flip into combine's (earlier, later) convention ---------
+    out = lax.associative_scan(lambda a, b: combine_value_maps(b, a),
+                               leaves, reverse=True)
+    _, _, _, eta_all, J_all = out
+
+    # value at the DEST node of each transition (V_{t+1}; V_T = 0), plus
+    # the seed that leaf t folded for itself (out[t+1] does not carry it)
+    Gn_ = jnp.concatenate([eta_all[1:], jnp.zeros((1, nx), dtype)], axis=0)
+    Hn = jnp.concatenate([J_all[1:], jnp.zeros((1, nx, nx), dtype)], axis=0)
+    Gn_ = Gn_ + m_next[:, None] * lq.phix[1:]
+    Hn = Hn + m_next[:, None, None] * lq.phixx[1:]
+
+    # ---- vectorized gain/dv/PSD extraction (sequential step formulas) ---
+    Gn = Gn_ + precise.mv(Hn, defect[1:])
+    Qu = lq.lu + precise.mv(_mT(lq.B), Gn)
+    HB = precise.mm(Hn, lq.B)
+    HA = precise.mm(Hn, lq.A)
+    Quu = lq.luu + precise.mm(_mT(lq.B), HB) + reg * eye_u
+    Qux = precise.mm(_mT(lq.B), HA)
+    if lq.lux is not None:
+        Qux = Qux + lq.lux
+    Quu = 0.5 * (Quu + _mT(Quu))
+    Quu_inv, psd = jax.vmap(lambda M: sweep_inverse(M, 1e-9))(Quu)
+    Quu_inv = 0.5 * (Quu_inv + _mT(Quu_inv))
+    dU = -precise.mv(Quu_inv, Qu)
+    K = -precise.mm(Quu_inv, Qux)
+    dv_k = -jnp.sum(Qu * dU, axis=-1)
+
+    dU = dyn_f * dU
+    K = dyn_f[:, :, None] * K
+    dv1 = -jnp.sum(is_dyn.astype(dtype) * dv_k)
+    dv2 = jnp.sum(is_dyn.astype(dtype) * dv_k)
+    ok = jnp.all(jnp.where(is_dyn, psd, True))
+    return dU, K, dv1, dv2, ok

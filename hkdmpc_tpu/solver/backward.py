@@ -21,6 +21,11 @@ REG_MIN_STEP = 1e-3   # reference: MultiPhaseDDP.cpp:157
 REG_MAX = 1e2         # reference: MultiPhaseDDP.cpp:160
 CHOL_SHIFT = 1e-9     # reference: SinglePhase.cpp:337
 
+# lax.scan unroll factor for the sequential backward sweep. Only the
+# batch-1 MPC latency path runs this scan (batched solves dispatch the
+# Pallas kernel); unrolling amortizes per-step loop overhead there.
+SCAN_UNROLL = 1
+
 
 def _riccati_step_aug_sweep(Qx, Qu, Qxx, Quu, Qux, dtype):
     """Fused Riccati step via the augmented sweep operator.
@@ -150,7 +155,7 @@ def backward_sweep(prob: ProblemData, lq: LQData, defect, regularization,
     init = (G_seed, H_seed, jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.array(True))
     (G0, H0, dV_1, dV_2, success), (dU_rev, K_rev, G_rev) = lax.scan(
-        step, init, jnp.arange(T - 1, -1, -1))
+        step, init, jnp.arange(T - 1, -1, -1), unroll=SCAN_UNROLL)
     # scan emitted in reverse transition order — flip back
     dU = dU_rev[::-1]
     K = K_rev[::-1]
@@ -326,7 +331,8 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
                                regularization, update_regularization,
                                last_node, aug_sweep: bool = True,
                                use_pallas: bool = False,
-                               kernel_jac_XU=None):
+                               kernel_jac_XU=None,
+                               assoc_backward: bool = False):
     """Retry the sweep with growing regularization until Quu is PSD everywhere
     or the regularization exceeds REG_MAX (then the solve fails).
 
@@ -355,6 +361,10 @@ def backward_sweep_regularized(prob: ProblemData, lq: LQData, defect,
                 prob.xr, prob.ur, prob.foot_r, rbd, rbe,
                 prob.term_contact, prob.td_mask, sig, lam, prob.term_mask,
                 defect, reg, last_node, prob.dt)
+        elif assoc_backward:
+            from hkdmpc_tpu.ops.assoc import riccati_backward_assoc
+            dU, K, dv1, dv2, ok_new = riccati_backward_assoc(
+                prob, lq, defect, reg, last_node)
         elif use_pallas:
             dU, K, dv1, dv2, ok_new = riccati_backward(
                 prob.kind, lq.A, lq.B, lq.lxx, lq.luu, lq.lx, lq.lu,

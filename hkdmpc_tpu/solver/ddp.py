@@ -72,7 +72,8 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
           pallas_backward: bool = False,
           jvp_linear: bool = False,
           kernel_jac: bool = False,
-          unroll_caps: bool = False) -> SolveResult:
+          unroll_caps: bool = False,
+          assoc_backward: bool = False) -> SolveResult:
     """Run one full HS-DDP solve. `opt` and `model` are static (python)
     configuration — iteration caps, thresholds, toggles, and the model's
     cost/constraint terms are baked into the compiled solver; use separate
@@ -181,7 +182,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
             backward.backward_sweep_regularized(
                 prob, lqd, c["defect"], reg, opt.update_regularization,
                 last_node, aug_sweep, pallas_backward,
-                kernel_jac_XU=kj_ctx)
+                kernel_jac_XU=kj_ctx, assoc_backward=assoc_backward)
         st = _replace(st, dU=dU, K=K)
 
         if ms:
@@ -342,7 +343,7 @@ solve_jit = jax.jit(
     solve,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "jvp_linear",
-                     "kernel_jac", "unroll_caps"))
+                     "kernel_jac", "unroll_caps", "assoc_backward"))
 
 # batched solves: vmap over (ProblemData, SolverState) scenario axes.
 # Only (prob, state) are vmapped; every flag is a keyword-defaulted static
@@ -350,10 +351,11 @@ solve_jit = jax.jit(
 # call site on a stale in_axes tuple again (round-1 regression).
 def _solve_batch(prob, state, opt, parallel_rollout=False, model=None,
                  assoc_linear=False, aug_sweep=True, pallas_backward=False,
-                 jvp_linear=False, kernel_jac=False, unroll_caps=False):
+                 jvp_linear=False, kernel_jac=False, unroll_caps=False,
+                 assoc_backward=False):
     fn = lambda p, s: solve(p, s, opt, parallel_rollout, model, assoc_linear,
                             aug_sweep, pallas_backward, jvp_linear,
-                            kernel_jac, unroll_caps)
+                            kernel_jac, unroll_caps, assoc_backward)
     return jax.vmap(fn)(prob, state)
 
 
@@ -361,4 +363,4 @@ solve_batch = jax.jit(
     _solve_batch,
     static_argnames=("opt", "parallel_rollout", "model", "assoc_linear",
                      "aug_sweep", "pallas_backward", "jvp_linear",
-                     "kernel_jac", "unroll_caps"))
+                     "kernel_jac", "unroll_caps", "assoc_backward"))
