@@ -46,13 +46,21 @@ class MPCConfig:
                                # 11.32 ms; scripts/exp_assoc_latency.py).
                                # Loses at saturating batch — solve_batch
                                # keeps the sequential scan.
-    assoc_backward: bool = True  # parallel-in-time Riccati backward sweep
+    assoc_backward: Optional[bool] = None
+                                 # parallel-in-time Riccati backward sweep
                                  # (ops/assoc.riccati_backward_assoc): the
                                  # log-depth value scan cuts the batch-1
                                  # solve 10.2 -> 8.9 ms on v5e (round 4) —
                                  # on-chip MPC step now clears the 10 ms
                                  # budget (HKDMPC.cpp:26-29) with margin.
-                                 # Same regime note as assoc_linear.
+                                 # None = auto: True on TPU, False on CPU —
+                                 # the log-depth scan's unrolled combines
+                                 # make XLA:CPU compiles minutes-long for
+                                 # zero production value (CPU is the
+                                 # f64-parity/dev backend; its latency is
+                                 # not the product), and a mid-stream
+                                 # recompile once blew run_async's
+                                 # real-time deadline in CI.
 
 
 @dataclasses.dataclass
@@ -103,6 +111,10 @@ class HKDMPCSolver:
             dt_sim=self.cfg.timestep, dt_mpc=self.cfg.timestep,
             cparams=self.cparams, dtype=dtype)
         self.dtype = dtype
+        import jax
+        self._assoc_bw = (self.cfg.assoc_backward
+                          if self.cfg.assoc_backward is not None
+                          else jax.default_backend() == "tpu")
         self.mpc_iter = 0
         self.mpc_time = 0.0
         self.solve_time = 0.0
@@ -145,7 +157,7 @@ class HKDMPCSolver:
         res = ddp.solve_jit(prob, state, self.opt,
                             self.problem.all_shooting(),
                             assoc_linear=self.cfg.assoc_linear,
-                            assoc_backward=self.cfg.assoc_backward)
+                            assoc_backward=self._assoc_bw)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -202,7 +214,7 @@ class HKDMPCSolver:
         res = ddp.solve_jit(prob, state, self.opt.runtime(),
                             self.problem.all_shooting(),
                             assoc_linear=self.cfg.assoc_linear,
-                            assoc_backward=self.cfg.assoc_backward)
+                            assoc_backward=self._assoc_bw)
         res.cost.block_until_ready()
         self.solve_time = (time.perf_counter() - t0) * 1e3
         self.problem.unflatten(res.state)
@@ -308,7 +320,7 @@ class HKDMPCSolver:
             self._tables, self._state_dev, ints, floats,
             self.opt.runtime(), pb.all_shooting(), n,
             assoc_linear=self.cfg.assoc_linear,
-            assoc_backward=self.cfg.assoc_backward)
+            assoc_backward=self._assoc_bw)
         self._host_stale = True
         self._pending = dict(bundle=bundle, n=n, t0=t0, times=times,
                              contacts=contacts, status=status, found=found)

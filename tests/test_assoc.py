@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from tests.test_solver import make_trot
 from hkdmpc_tpu.ops.assoc import affine_prefix, linear_rollout_assoc
@@ -82,6 +83,7 @@ def test_value_map_combine_is_composition():
         np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_riccati_backward_assoc_matches_scan():
     """Parallel-in-time backward sweep == the sequential sweep on the trot
     problem (f64): gains, feedforward, expected-cost terms and the PSD
@@ -109,6 +111,7 @@ def test_riccati_backward_assoc_matches_scan():
         assert bool(ok_a) == bool(ok_s)
 
 
+@pytest.mark.slow
 def test_solve_assoc_backward_equivalent():
     """Full solve with assoc_backward (+ assoc_linear, the latency stack)
     matches the sequential-scan solve to solver-decision accuracy."""

@@ -7,6 +7,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,17 @@ def _solved_state():
     prob, state = pb.build(x0)
     res = ddp.solve_jit(prob, state, opt)
     return pb, prob, res.state, opt
+
+
+def _fresh_caches():
+    """Bound per-process compiled-code volume INSIDE this module: the
+    XLA:CPU JIT segfaults deterministically once a process accumulates too
+    many compiled programs (see tests/conftest.py — the per-module clear
+    is not enough for this module's many full-solve variants since the
+    assoc-backward defaults grew the fused/classic programs). Clearing
+    before each of the heaviest tests trades recompiles for staying under
+    the crash threshold."""
+    jax.clear_caches()
 
 
 def test_parallel_rollout_matches_scan():
@@ -170,6 +182,7 @@ def test_pallas_backward_matches_scan_per_lane_reg():
         assert bool(ok[i]) == bool(s[6])
 
 
+@pytest.mark.slow
 def test_solve_pallas_backward_equivalent_under_vmap():
     """vmap(solve, pallas_backward=True) == vmap(solve) (f32, runtime caps);
     exercises the custom_vmap dispatch end to end (interpret mode on CPU)."""
@@ -200,10 +213,12 @@ def test_solve_pallas_backward_equivalent_under_vmap():
     assert not bool(jnp.any(res_b.solve_failed))
 
 
+@pytest.mark.slow
 def test_fused_mpc_step_matches_classic():
     """Device-resident fused MPC step (mpc/fused.py) == faithful
     unflatten->update->build->solve path, step for step over a closed-loop
     trot segment crossing phase pops/appends."""
+    _fresh_caches()
     from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
 
     REF = "/root/reference/Reference/Data/trot/quad_reference.csv"
@@ -251,11 +266,13 @@ def test_fused_mpc_step_matches_classic():
         np.testing.assert_allclose(b.Ubar, a.Ubar, rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_fused_matches_classic(tmp_path):
     """Checkpoint -> HKDMPCSolver.resume() re-arms the fused device-resident
     path: Phase.uid survives the checkpoint round trip, so the uid-keyed
     shift-descriptor gathers (problem.flat_offsets) stay valid and a resumed
     fused service matches a resumed classic service step for step."""
+    _fresh_caches()
     from hkdmpc_tpu.mpc.solver import HKDMPCSolver, MPCConfig
     from hkdmpc_tpu.utils.checkpoint import save_problem
 
@@ -325,6 +342,7 @@ def test_batched_solve_has_no_default_precision_matmuls():
     precision, which measurably degrades final cost (exp_accuracy_oracle:
     max rel deviation 2.5e-2 vs the f64 oracle before ops/precise.py, 5e-6
     after). All small products must go through ops/precise.py (VPU f32)."""
+    _fresh_caches()
     pb, x0, opt = make_trot()
     pb.dtype = jnp.float32
     prob, state = pb.build(x0)
@@ -339,10 +357,12 @@ def test_batched_solve_has_no_default_precision_matmuls():
         "solve — route them through ops/precise.py")
 
 
+@pytest.mark.slow
 def test_f32_batch_final_cost_matches_f64_oracle():
     """f32 batched solves (the TPU production numerics, minus the MXU) must
     reproduce the f64 oracle's final costs to ~roundoff on a shared scenario
     set that includes hard high-cost cases."""
+    _fresh_caches()
     from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
 
     B = 16
@@ -399,10 +419,12 @@ def test_linear_rollout_jvp_matches_scan():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_solve_kernel_jac_equivalent_under_vmap():
     """vmap(solve, kernel_jac=True) — jacobians rebuilt inside the Pallas
     kernel from (X, U), A/B never materialized, jvp linear rollout — matches
     the pallas_backward solve (f32, runtime caps; interpret mode on CPU)."""
+    _fresh_caches()
     from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
 
     pb, x0, opt = make_trot()
@@ -430,10 +452,12 @@ def test_solve_kernel_jac_equivalent_under_vmap():
     assert not bool(jnp.any(res_b.solve_failed))
 
 
+@pytest.mark.slow
 def test_kernel_jac_backward_matches_scan():
     """riccati_backward_hkd batched rule (in-kernel jacobians + running AND
     terminal partials, interpret mode) vs the faithful scan with XLA-built
     A/B and materialized partials on the same inputs."""
+    _fresh_caches()
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
 
     pb, prob, state, opt = _solved_state()
@@ -476,6 +500,7 @@ def test_kernel_jac_backward_matches_scan():
             assert err <= max(10.0 * roundoff, 1e-5), (name, err, roundoff)
 
 
+@pytest.mark.slow
 def test_unroll_caps_matches_while_loop():
     """solve(unroll_caps=True) — statically unrolled AL/DDP loops with
     masked discards replacing the lax.while_loops — is decision-identical
@@ -483,6 +508,7 @@ def test_unroll_caps_matches_while_loop():
     accepted trials); values agree to XLA fusion-reassociation roundoff
     (the two program shapes fuse reductions differently, measured ~5e-16
     rel in f64)."""
+    _fresh_caches()
     pb, x0, opt = make_trot()
     prob, state = pb.build(x0)
     optr = opt.runtime()

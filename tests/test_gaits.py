@@ -42,6 +42,7 @@ def solve_reference_file(path, plan=0.6, qJ0=(0.0, -0.8, 1.6)):
 
 @pytest.mark.skipif(not os.path.exists(f"{REF_ROOT}/flytrot/quad_reference.csv"),
                     reason="no reference data")
+@pytest.mark.slow
 def test_flytrot_with_flight_phases():
     pb, res = solve_reference_file(f"{REF_ROOT}/flytrot/quad_reference.csv")
     # flight phases present
@@ -53,6 +54,7 @@ def test_flytrot_with_flight_phases():
 
 @pytest.mark.skipif(not os.path.exists(f"{REF_ROOT}/barrelroll/quad_reference.csv"),
                     reason="no reference data")
+@pytest.mark.slow
 def test_barrelroll():
     pb, res = solve_reference_file(f"{REF_ROOT}/barrelroll/quad_reference.csv")
     assert not bool(res.solve_failed)
@@ -69,6 +71,7 @@ def test_synthesized_hop(tmp_path):
     assert float(res.max_pconstr) > -1e-6
 
 
+@pytest.mark.slow
 def test_gait_transition_trot_hop_pronk(tmp_path):
     gs = GaitSynthesizer()
     path = gs.write(str(tmp_path / "mix.csv"),

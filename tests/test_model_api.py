@@ -3,6 +3,7 @@ constraint, and a user-defined cost term."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tests.test_solver import make_trot
@@ -29,6 +30,7 @@ def _worst_swing_dip(prob, res):
     return worst
 
 
+@pytest.mark.slow
 def test_swing_constraint_lifts_feet():
     """With the swing-height path constraint active, swing feet dip less
     below the ground than without it. (The reference's shipped Swing_ReB

@@ -28,6 +28,7 @@ def euler_to_measured_rpy(eul):
     return np.asarray([eul[2], eul[1], eul[0]])
 
 
+@pytest.mark.slow
 def test_closed_loop_trot():
     solver = HKDMPCSolver(REF_DATA, REF_SETTINGS, REF_CPARAMS, MPCConfig())
     cmd = solver.initialize()
@@ -154,6 +155,7 @@ def test_command_contract():
                                d["hkd_controls"].astype(np.float32), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mpc_through_trot_jump_trot():
     """BASELINE config 4: the gaitLib trot->jump->trot sequence end-to-end
     through the receding-horizon MPC loop (360 steps, 3.6 s), propagating the
@@ -219,6 +221,7 @@ def test_mpc_through_trot_jump_trot():
     assert (1, 1, 1, 1) in contacts_seen
 
 
+@pytest.mark.slow
 def test_async_service_at_100hz():
     """Drive MPCService.run_async with a >=100 Hz mpc_data stream over the
     native transport (the reference's robot loop rate, HKDMPC.cpp:26-29).

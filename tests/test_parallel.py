@@ -44,6 +44,7 @@ def test_sharded_equals_unsharded(batch_problem):
     assert int(agg["n_failed"]) == int(jnp.sum(res_ref.solve_failed))
 
 
+@pytest.mark.slow
 def test_sharded_kernel_jac_equals_unsharded(batch_problem):
     """The PRODUCTION stack under sharding: shard_map(vmap(solve,
     kernel_jac=True))) — the in-kernel-jacobian Pallas backward (interpret
@@ -86,6 +87,7 @@ def test_uneven_perturbations_solve_independently(batch_problem):
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_two_process_dcn_matches_single_process(tmp_path):
     """BASELINE config-5's N>=2-hosts axis: two jax.distributed CPU
     processes (4 virtual devices each) solving the same globally-sharded

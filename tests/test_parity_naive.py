@@ -57,6 +57,7 @@ def _assert_match(pb, x0, opt):
     return naive, res
 
 
+@pytest.mark.slow
 def test_naive_parity_hop_gait(tmp_path):
     """Synthesized hop: all-leg flight + simultaneous 4-leg touchdowns —
     maximal AL/reset activity."""
@@ -86,6 +87,7 @@ def test_naive_parity_hop_gait(tmp_path):
     _assert_match(pb, x0, opt)
 
 
+@pytest.mark.slow
 def test_naive_parity_receding_horizon():
     """MPC-loop oracle parity: HKDProblem's receding-horizon update (front
     shrink/pop, back grow/append, tconstr/AL refresh, Ubar[0] zeroing,
@@ -204,6 +206,7 @@ def test_naive_parity_receding_horizon():
     assert appended, "test must exercise a phase append"
 
 
+@pytest.mark.slow
 def test_flattened_solver_matches_naive_reference():
     # 0.45 s horizon: stand, two-leg stance, flight (touchdown constraints +
     # reset maps), two-leg stance — all solver paths exercised
