@@ -28,15 +28,26 @@ VPU_F32_TFLOPS = 8 * 128 * 4 * 2 * 0.94e9 / 1e12  # ~7.7
 
 
 def pallas_backward_flops(T, B, n_sweeps=1):
-    """Hand count for the split-sweep kernel (XLA's cost analysis reports 0
-    flops for custom calls): per (t, lane) — five 24-term FMA slabs over
-    (24,24) [M1, AtHA, M2, BtHA, BtHB], two (24,) contractions, 24 pivots
-    on the (24,49) tableau, and the (24,24) Schur-complement slab."""
-    slabs = 5 * 24 * 24 * 24 * 2           # quadratic-expansion products
-    vecs = 2 * 24 * 24 * 2                 # AtGn, BtGn
-    pivots = 24 * 24 * 49 * 2              # split sweep
-    schur = 24 * 24 * 24 * 2 + 3 * 24 * 2  # Qxx - Qux'S, Gd, dv
-    return (slabs + vecs + pivots + schur) * T * B * n_sweeps
+    """Hand count for the round-4 kernel_jac kernel (XLA reports 0 flops
+    for custom calls): per DYN (t, lane) — sparsity-aware entry-scaled
+    row/column FMAs for the quadratic expansion (edA ~70 / edB ~60 nonzero
+    jacobian entries), the jacobian/running-partial entry formulas
+    (approximate scalar-op counts), forward elimination +
+    back-substitution on the (24,49) tableau, and the dense
+    Schur-complement slab. Accurate to ~±20% (the entry-formula terms are
+    estimates); pad/reset steps are skipped by the per-kind predicates and
+    not counted."""
+    sparse_prod = (3 * 70 + 2 * 60) * 24 * 2   # HA/AtHA (edA), Qux/HB/BtHB
+    vecs = (2 * 70 + 60) * 2                   # AtGn, BtGn sparse
+    jac_entries = 2500                         # dynA/dynB/reset formulas
+    partials = 1500                            # running partials + ReB
+    assembly = 2 * 576 * 2                     # Qxx/Quu adds + sym
+    elim = sum((23 - k) * 49 * 2 for k in range(24))   # fwd elimination
+    backsub = sum((24 - i) * 25 * 2 for i in range(24))
+    schur = 24 * 24 * 24 * 2 + 4 * 24 * 2      # Hd dense, Gd, dv
+    per_step = (sparse_prod + vecs + jac_entries + partials + assembly
+                + elim + backsub + schur)
+    return per_step * T * B * n_sweeps
 
 
 def main():
@@ -56,8 +67,8 @@ def main():
         prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
 
     fn = jax.jit(lambda p, s: jax.vmap(
-        lambda pp, ss: ddp.solve(pp, ss, opt, True, pallas_backward=True))(
-        p, s))
+        lambda pp, ss: ddp.solve(pp, ss, opt, True, kernel_jac=True,
+                                 unroll_caps=True))(p, s))
     compiled = fn.lower(prob_b, state_b).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
@@ -82,7 +93,8 @@ def main():
 
     # the runtime-caps workload runs the backward kernel twice per solve
     # (2 outer iters x 1 DDP iter, no reg retries on this workload)
-    kflops = pallas_backward_flops(prob.kind.shape[0], batch, n_sweeps=2)
+    n_dyn = int((np.asarray(prob.kind) == 1).sum())
+    kflops = pallas_backward_flops(n_dyn, batch, n_sweeps=2)
     total_flops = flops + kflops
 
     print(f"batch={batch} wall={t*1e3:.1f} ms "
