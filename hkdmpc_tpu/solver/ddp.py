@@ -79,8 +79,15 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     cost/constraint terms are baked into the compiled solver; use separate
     jit instances for cold-solve vs runtime caps.
 
-    parallel_rollout (static): use the scan-free rollout — only valid when
-    every active node is a shooting node (HKDProblem.all_shooting())."""
+    All flags are static. The production configurations:
+    - batched throughput (bench.py): parallel_rollout + kernel_jac
+      (in-kernel-everything Pallas backward; forces jvp_linear) +
+      unroll_caps (statically unrolled AL/DDP loops, masked discards —
+      decision-identical, pinned by test).
+    - batch-1 MPC latency (mpc/): parallel_rollout + assoc_linear +
+      assoc_backward (parallel-in-time log-depth recursions, ops/assoc.py).
+    parallel_rollout is only valid when every active node is a shooting
+    node (HKDProblem.all_shooting())."""
     from hkdmpc_tpu.solver.model_api import hkd_model_spec
     model = model or hkd_model_spec()
     if kernel_jac:
