@@ -62,6 +62,11 @@ def main():
     variants = {
         "assoc": loop(lambda: ddp.solve_jit(prob, state, optr, True,
                                             assoc_linear=True)),
+        # + parallel-in-time Riccati backward (the MPC default on TPU):
+        # 10.2 -> 8.9 ms at T=75, 30.7 -> 10.6 at T=215 (round 4)
+        "assoc_bw": loop(lambda: ddp.solve_jit(prob, state, optr, True,
+                                               assoc_linear=True,
+                                               assoc_backward=True)),
         "scan": loop(lambda: ddp.solve_jit(prob, state, optr, True)),
         "kjac_b1": loop(lambda: ddp.solve_batch(prob_b, state_b, optr, True,
                                                 kernel_jac=True)),
