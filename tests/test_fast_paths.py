@@ -574,3 +574,65 @@ def test_linear_dv_closed_matches_lq():
     assert abs(float(dv2_a) - float(dv2_b)) < 1e-8, (dv2_a, dv2_b)
     # the AL part is actually exercised on this problem
     assert float(jnp.sum(prob.td_mask)) > 0
+
+
+@pytest.mark.slow
+def test_kernel_jac_mixed_schedule_batch():
+    """Heterogeneous phase structures in ONE kernel batch block: 2 trot +
+    2 flytrot scenarios (different contact schedules, reset positions and
+    pad tails per lane) solved with kernel_jac must match each scenario's
+    individual scan-backward solve. Exercises the per-kind pl.when
+    predicates in the mixed-lane regime where no branch can be skipped —
+    the replicated-schedule equivalence tests never hit this."""
+    import pytest as _pytest
+
+    _fresh_caches()
+    from hkdmpc_tpu.config import load_constraint_params, load_ddp_setting
+    from hkdmpc_tpu.models import hkd as hkd_mod
+    from hkdmpc_tpu.reference import QuadReference
+    from hkdmpc_tpu.solver.problem import HKDProblem
+    from tests.test_solver import REF_CPARAMS, REF_SETTINGS
+
+    FLY = "/root/reference/Reference/Data/flytrot/quad_reference.csv"
+    pb1, x01, opt = make_trot()
+    pb2 = HKDProblem(QuadReference.from_file(FLY), plan_duration=0.6,
+                     cparams=load_constraint_params(REF_CPARAMS))
+    pb2.initialization()
+    body = np.zeros(12)
+    body[5] = 0.2486
+    qJ = np.tile([0.0, -0.8, 1.6], 4)
+    qd = hkd_mod.compute_hkd_state(
+        jnp.array(body[:3]), jnp.array(body[3:6]), jnp.array(qJ),
+        jnp.array(pb2.phases[0].contact, dtype=float))
+    x02 = np.concatenate([body, np.asarray(qd)])
+
+    prob1, st1 = pb1.build(x01)
+    prob2, st2 = pb2.build(x02)
+    assert prob1.kind.shape == prob2.kind.shape
+    # genuinely different schedules (different reset/pad placement per lane)
+    assert not np.array_equal(np.asarray(prob1.kind), np.asarray(prob2.kind))
+
+    f32 = lambda x: (jnp.asarray(x, jnp.float32)
+                     if isinstance(x, jnp.ndarray) and
+                     jnp.issubdtype(x.dtype, jnp.floating) else x)
+    p1, s1 = (jax.tree_util.tree_map(f32, prob1),
+              jax.tree_util.tree_map(f32, st1))
+    p2, s2 = (jax.tree_util.tree_map(f32, prob2),
+              jax.tree_util.tree_map(f32, st2))
+    stack = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([x, x, y, y]), a, b)
+    prob_b, st_b = stack(p1, p2), stack(s1, s2)
+
+    optr = opt.runtime()
+    res = ddp.solve_batch(prob_b, st_b, optr, True, kernel_jac=True)
+    assert not bool(jnp.any(res.solve_failed))
+
+    ref1 = ddp.solve_jit(p1, s1, optr, True)
+    ref2 = ddp.solve_jit(p2, s2, optr, True)
+    for i, ref in ((0, ref1), (1, ref1), (2, ref2), (3, ref2)):
+        np.testing.assert_allclose(float(res.cost[i]), float(ref.cost),
+                                   rtol=1e-4, err_msg=f"lane {i}")
+        np.testing.assert_allclose(np.asarray(res.state.Ubar[i]),
+                                   np.asarray(ref.state.Ubar),
+                                   rtol=1e-3, atol=2e-3,
+                                   err_msg=f"lane {i}")
