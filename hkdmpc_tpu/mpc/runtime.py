@@ -180,11 +180,12 @@ class MPCService:
                     busy = True
         n_abandoned = 0
         if busy:
-            # drain the in-flight solve, but bounded: if the device/tunnel
-            # hung, an unconditional update_fused_complete() would block
-            # forever and defeat the duration_s deadline
-            grace = _time.perf_counter() + max(
-                5.0, duration_s if duration_s is not None else 0.0)
+            # drain the in-flight solve, but bounded by a small CONSTANT
+            # grace: if the device/tunnel hung, an unconditional
+            # update_fused_complete() would block forever, and a grace
+            # proportional to duration_s would still let total wall time
+            # balloon to ~2x the requested deadline
+            grace = _time.perf_counter() + 5.0
             while not self.solver.fused_ready() and \
                     _time.perf_counter() < grace:
                 _time.sleep(0.001)

@@ -16,7 +16,8 @@
 
    (the parallel-in-time LQR factorization of Sarkka & Garcia-Fernandez,
    IEEE TAC 2021, adapted to this solver's defect-corrected, regularized,
-   multi-phase sweep). A suffix associative scan over the per-transition
+   multi-phase sweep; elements carry a trailing pivot-health ok flag ANDed
+   through compositions). A suffix associative scan over the per-transition
    elements yields the value function at EVERY node in ~log2(T) depth;
    the gains/PSD-gate/dv extraction then runs as one vectorized pass over
    transitions using the SAME per-step formulas as the sequential sweep
@@ -109,18 +110,28 @@ def linear_rollout_assoc(prob, state, lq: LQData, defect, eps):
 # ---------------------------------------------------------------------------
 
 
+_PIVOT_TINY = 1e-30
+
+
 def _gauss_solve(M, R):
     """Solve M X = R for general (non-symmetric) M (..., n, n),
     R (..., n, m): pivot-free Gaussian elimination + back substitution,
     statically unrolled over n. The combine's M = I + C J (C, J PSD) is a
     product of PSDs shifted by I — well-conditioned without pivoting, the
-    same no-pivot discipline as the Riccati sweeps."""
+    same no-pivot discipline as the Riccati sweeps.
+
+    Returns (X, ok) with ok (batch-shaped bool) False wherever a pivot had
+    to be substituted: a violated well-conditioning assumption is signalled
+    to the caller instead of silently producing garbage (the combine folds
+    it into the element's ok flag, forcing the regularization retry)."""
     n = M.shape[-1]
     W = jnp.concatenate([M, R], axis=-1)
     rows = [W[..., i, :] for i in range(n)]
+    ok = jnp.ones(M.shape[:-2], bool)
     for k in range(n):
         piv = rows[k][..., k]
-        piv = jnp.where(jnp.abs(piv) > 1e-30, piv, 1.0)
+        ok = jnp.logical_and(ok, jnp.abs(piv) > _PIVOT_TINY)
+        piv = jnp.where(jnp.abs(piv) > _PIVOT_TINY, piv, 1.0)
         rk = rows[k] / piv[..., None]
         rows[k] = rk
         for i in range(k + 1, n):
@@ -131,7 +142,7 @@ def _gauss_solve(M, R):
         for j in range(i + 1, n):
             acc = acc - rows[i][..., j][..., None] * X[j]
         X[i] = acc
-    return jnp.stack(X, axis=-2)
+    return jnp.stack(X, axis=-2), ok
 
 
 def _mT(M):
@@ -140,11 +151,13 @@ def _mT(M):
 
 def combine_value_maps(e1, e2):
     """Compose two backward value-map elements: e = e1 o e2 with e2 CLOSER
-    TO THE TERMINAL (applied first). Element (A, b, C, eta, J) as in the
-    module docstring. Uses (I + J2 C1) = (I + C1 J2)' for symmetric C/J,
-    so one factorization serves both halves."""
-    A1, b1, C1, h1, J1 = e1
-    A2, b2, C2, h2, J2 = e2
+    TO THE TERMINAL (applied first). Element (A, b, C, eta, J, ok) as in
+    the module docstring; ok carries the pivot-health flag of every solve
+    that produced the element (ANDed through compositions). Uses
+    (I + J2 C1) = (I + C1 J2)' for symmetric C/J, so one factorization
+    serves both halves."""
+    A1, b1, C1, h1, J1, ok1 = e1
+    A2, b2, C2, h2, J2, ok2 = e2
     n = A1.shape[-1]
     eye = jnp.eye(n, dtype=A1.dtype)
     M = eye + precise.mm(C1, J2)
@@ -152,7 +165,7 @@ def combine_value_maps(e1, e2):
     # convention), the offset combine picks up b1 MINUS C1 h2
     rhs = jnp.concatenate(
         [A1, C1, (b1 - precise.mv(C1, h2))[..., None]], axis=-1)
-    X = _gauss_solve(M, rhs)
+    X, ok_solve = _gauss_solve(M, rhs)
     ZA1 = X[..., :n]
     ZC1 = X[..., n:2 * n]
     Zb = X[..., 2 * n]
@@ -163,21 +176,23 @@ def combine_value_maps(e1, e2):
     J = J1 + precise.mm(_mT(ZA1), precise.mm(J2, A1))
     J = 0.5 * (J + _mT(J))
     h = h1 + precise.mv(_mT(ZA1), h2 + precise.mv(J2, b1))
-    return A, b, C, h, J
+    ok = jnp.logical_and(jnp.logical_and(ok1, ok2), ok_solve)
+    return A, b, C, h, J, ok
 
 
 def apply_value_map(e, G, H):
     """Apply an element to value params (G, H) at its far end — reference
-    semantics for tests (and the definition the combine must satisfy)."""
-    A, b, C, h, J = e
+    semantics for tests (and the definition the combine must satisfy).
+    Accepts 5- or 6-tuple elements (the trailing ok flag is ignored)."""
+    A, b, C, h, J = e[:5]
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     # H(I+CH)^{-1}A: solve (I + C H) X = A, then H X
-    X = _gauss_solve(eye + precise.mm(C, H), A)
+    X, _ = _gauss_solve(eye + precise.mm(C, H), A)
     Hs = J + precise.mm(_mT(A), precise.mm(H, X))
-    Y = _gauss_solve(eye + precise.mm(H, C),
-                     (G + precise.mv(H, b))[..., None])[..., 0]
-    Gs = h + precise.mv(_mT(A), Y)
+    Y, _ = _gauss_solve(eye + precise.mm(H, C),
+                        (G + precise.mv(H, b))[..., None])
+    Gs = h + precise.mv(_mT(A), Y[..., 0])
     return Gs, 0.5 * (Hs + _mT(Hs))
 
 
@@ -210,7 +225,22 @@ def riccati_backward_assoc(prob, lq: LQData, defect, reg, last_node):
     BRi = precise.mm(lq.B, Rinv)                  # (T, nx, nu)
     C_dyn = precise.mm(BRi, _mT(lq.B))
     b_dyn = defect[1:] - precise.mv(BRi, lq.lu)
-    J_dyn = lq.lxx + reg * eye_x
+    if lq.lux is not None:
+        # cross term: eliminate u at the leaf by completing the square,
+        # du = v - R^-1 (lu + lux dx). The stage becomes cross-free in
+        # (dx, v) with A <- A - B R^-1 lux, h <- lx - lux' R^-1 lu,
+        # J <- lxx - lux' R^-1 lux (b already carries -B R^-1 lu); exact
+        # algebra, so the propagated value matches the sequential sweep
+        # (which adds lux to Qux at extraction) for lux != 0 too.
+        LxTRi = precise.mm(_mT(lq.lux), Rinv)     # (T, nx, nu)
+        A_dyn = lq.A - precise.mm(BRi, lq.lux)
+        h_dyn = lq.lx - precise.mv(LxTRi, lq.lu)
+        J_x = lq.lxx + reg * eye_x - precise.mm(LxTRi, lq.lux)
+        J_dyn = 0.5 * (J_x + _mT(J_x))
+    else:
+        A_dyn = lq.A
+        h_dyn = lq.lx
+        J_dyn = lq.lxx + reg * eye_x
 
     zmat = jnp.zeros((T, nx, nx), dtype)
     zvec = jnp.zeros((T, nx), dtype)
@@ -218,13 +248,14 @@ def riccati_backward_assoc(prob, lq: LQData, defect, reg, last_node):
 
     dyn_m = is_dyn[:, None, None]
     rst_m = is_rst[:, None, None]
-    A_e = jnp.where(dyn_m, lq.A, jnp.where(rst_m, lq.A, eye_b))
+    A_e = jnp.where(dyn_m, A_dyn, jnp.where(rst_m, lq.A, eye_b))
     b_e = jnp.where(dyn_m[:, :, 0], b_dyn,
                     jnp.where(rst_m[:, :, 0], defect[1:], zvec))
     C_e = jnp.where(dyn_m, C_dyn, zmat)
-    h_e = jnp.where(dyn_m[:, :, 0], lq.lx,
+    h_e = jnp.where(dyn_m[:, :, 0], h_dyn,
                     jnp.where(rst_m[:, :, 0], lq.phix[:T], zvec))
     J_e = jnp.where(dyn_m, J_dyn, jnp.where(rst_m, lq.phixx[:T], zmat))
+    ok_e = jnp.ones(T, bool)
 
     # fold the last-node terminal seed into the owning leaf: element t
     # composes with the pure-quadratic seed S_{t+1} = (I, 0, 0, phi_x m,
@@ -234,15 +265,20 @@ def riccati_backward_assoc(prob, lq: LQData, defect, reg, last_node):
     m_next = is_last_n[1:]                        # (T,)
     seed = (eye_b, zvec, zmat,
             m_next[:, None] * lq.phix[1:],
-            m_next[:, None, None] * lq.phixx[1:])
-    leaves = combine_value_maps((A_e, b_e, C_e, h_e, J_e), seed)
+            m_next[:, None, None] * lq.phixx[1:],
+            jnp.ones(T, bool))
+    leaves = combine_value_maps((A_e, b_e, C_e, h_e, J_e, ok_e), seed)
 
     # ---- suffix scan: out[t] = V_t = (M_t o ... o M_{T-1})(0). With
     # reverse=True the scan presents the LATER transition as the left
     # operand, so flip into combine's (earlier, later) convention ---------
     out = lax.associative_scan(lambda a, b: combine_value_maps(b, a),
                                leaves, reverse=True)
-    _, _, _, eta_all, J_all = out
+    _, _, _, eta_all, J_all, ok_all = out
+    # a substituted pivot in ANY combine that fed ANY output invalidates
+    # the sweep: fold into the returned ok so the regularization retry
+    # fires explicitly instead of garbage reaching the Quu gate
+    ok_scan = jnp.all(ok_all)
 
     # value at the DEST node of each transition (V_{t+1}; V_T = 0), plus
     # the seed that leaf t folded for itself (out[t+1] does not carry it)
@@ -271,5 +307,5 @@ def riccati_backward_assoc(prob, lq: LQData, defect, reg, last_node):
     K = dyn_f[:, :, None] * K
     dv1 = -jnp.sum(is_dyn.astype(dtype) * dv_k)
     dv2 = jnp.sum(is_dyn.astype(dtype) * dv_k)
-    ok = jnp.all(jnp.where(is_dyn, psd, True))
+    ok = jnp.logical_and(jnp.all(jnp.where(is_dyn, psd, True)), ok_scan)
     return dU, K, dv1, dv2, ok

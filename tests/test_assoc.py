@@ -62,7 +62,8 @@ def test_value_map_combine_is_composition():
                 jnp.asarray(rng.normal(size=n)),
                 rnd_psd(0.4),
                 jnp.asarray(rng.normal(size=n)),
-                rnd_psd(0.6))
+                rnd_psd(0.6),
+                jnp.asarray(True))
 
     for _ in range(5):
         e1, e2 = rnd_elem(), rnd_elem()
@@ -74,13 +75,18 @@ def test_value_map_combine_is_composition():
         G_got, H_got = apply_value_map(e12, G, H)
         np.testing.assert_allclose(H_got, H_ref, rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(G_got, G_ref, rtol=1e-9, atol=1e-10)
+        assert bool(e12[5])  # healthy pivots propagate ok=True
 
     # identity element (seed with zero mask) must be neutral
     ident = (jnp.eye(n), jnp.zeros(n), jnp.zeros((n, n)), jnp.zeros(n),
-             jnp.zeros((n, n)))
+             jnp.zeros((n, n)), jnp.asarray(True))
     e = rnd_elem()
     for a, b in zip(combine_value_maps(e, ident), e):
         np.testing.assert_allclose(a, b, atol=1e-12)
+
+    # an unhealthy operand poisons the composition's ok flag
+    bad = rnd_elem()[:5] + (jnp.asarray(False),)
+    assert not bool(combine_value_maps(rnd_elem(), bad)[5])
 
 
 @pytest.mark.slow
@@ -109,6 +115,24 @@ def test_riccati_backward_assoc_matches_scan():
         np.testing.assert_allclose(float(dv1_a), float(dv1_s), rtol=1e-8)
         np.testing.assert_allclose(float(dv2_a), float(dv2_s), rtol=1e-8)
         assert bool(ok_a) == bool(ok_s)
+
+    # cross-term generality: with lux != 0 the leaves eliminate u by
+    # completing the square; must still match the sequential sweep (which
+    # adds lux to Qux per step). Random small lux, masked to DYN rows.
+    rng = np.random.default_rng(7)
+    from hkdmpc_tpu.solver.structs import DYN
+    dyn_m = np.asarray(prob.kind == DYN, float)[:, None, None]
+    lux = jnp.asarray(rng.normal(size=(pb.T, 24, 24)) * 0.05 * dyn_m)
+    lqd_x = dataclasses.replace(lqd, lux=lux)
+    dU_s, K_s, _, _, dv1_s, dv2_s, ok_s = backward.backward_sweep(
+        prob, lqd_x, ro.defect, 0.05, last, aug_sweep=True)
+    dU_a, K_a, dv1_a, dv2_a, ok_a = riccati_backward_assoc(
+        prob, lqd_x, ro.defect, jnp.float64(0.05), last)
+    np.testing.assert_allclose(dU_a, dU_s, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(K_a, K_s, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(dv1_a), float(dv1_s), rtol=1e-7)
+    np.testing.assert_allclose(float(dv2_a), float(dv2_s), rtol=1e-7)
+    assert bool(ok_a) == bool(ok_s)
 
 
 @pytest.mark.slow
