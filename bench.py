@@ -98,6 +98,11 @@ def main():
             out.update(measure_latency(jax, jnp))
         except Exception as e:  # keep the throughput axis on any failure
             print(f"# latency axis failed: {e!r}", file=sys.stderr)
+    if os.environ.get("BENCH_FLEET", "1") != "0":
+        try:
+            out.update(measure_fleet(jax, jnp))
+        except Exception as e:  # keep the other axes on any failure
+            print(f"# fleet axis failed: {e!r}", file=sys.stderr)
     print(json.dumps(out))
     print(f"# batch={batch} best={best*1e3:.1f}ms times_ms="
           f"{[round(t*1e3,1) for t in times]} mean_cost={mean_cost:.2f} "
@@ -172,6 +177,61 @@ def measure_latency(jax, jnp) -> dict:
         "latency_ms_p90": round(lats[45] * 1e3, 2),
         "latency_floor_ms_p50": round(floors[25] * 1e3, 2),
         "latency_budget_ms": 10.0,
+    }
+
+
+def measure_fleet(jax, jnp) -> dict:
+    """Batched fleet MPC: N warm-started robots stepping receding horizons
+    device-resident, one jitted program per fleet step (mpc/fleet.py) — the
+    reference's per-robot 100 Hz loop (HKDMPC.cpp:96-166), batched. Steps
+    dispatch back-to-back (bundles consumed asynchronously), so the metric
+    is robot-steps/s of warm-started receding-horizon MPC, not one-shot
+    re-solves."""
+    import numpy as np
+
+    from hkdmpc_tpu.mpc.fleet import FleetConfig, FleetMPC
+
+    N = int(os.environ.get("BENCH_FLEET_N", "1024"))
+    steps = int(os.environ.get("BENCH_FLEET_STEPS", "25"))
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    fleet = FleetMPC(
+        "/root/reference/Reference/Data/trot/quad_reference.csv", N,
+        "/root/reference/HKDMPC/settings/ddp_setting.info",
+        "/root/reference/HKDMPC/settings/constraint_params.info",
+        config=FleetConfig(), dtype=dtype)
+    init = fleet.initialize()
+
+    rng = np.random.default_rng(0)
+
+    def meas_fn(k):
+        return dict(
+            rpy=rng.normal(scale=0.01, size=(N, 3)),
+            p=np.array([0.0, 0.0, 0.25]) + rng.normal(scale=0.005,
+                                                      size=(N, 3)),
+            v=rng.normal(scale=0.02, size=(N, 3)),
+            omega=rng.normal(scale=0.02, size=(N, 3)),
+            qJ=np.tile([0.0, -0.8, 1.6], (N, 4))
+            + rng.normal(scale=0.01, size=(N, 12)))
+
+    # warmup: compiles the fleet program (+ the all_shooting=False variant
+    # never appears on the trot schedule)
+    fleet.rollout_steps(2, meas_fn)
+    t0 = time.perf_counter()
+    last = fleet.rollout_steps(steps, meas_fn, mpc_time0=0.02)
+    dt = time.perf_counter() - t0
+    # sanity off the final bundle: no failed solves in the fleet
+    out_b = fleet.unpack(jax.device_get(last))
+    n_failed = int(np.sum(out_b["scalars"][:, 5] > 0))
+    print(f"# fleet N={N} steps={steps} total={dt*1e3:.1f}ms "
+          f"step={dt/steps*1e3:.2f}ms robot_steps_per_s={N*steps/dt:.0f} "
+          f"init_cost={init['mean_cost']:.2f} init_failed={init['n_failed']} "
+          f"failed_last={n_failed}", file=sys.stderr)
+    return {
+        "fleet_robots": N,
+        "fleet_mpc_steps": steps,
+        "fleet_step_ms": round(dt / steps * 1e3, 2),
+        "fleet_robot_steps_per_s": round(N * steps / dt, 1),
+        "fleet_failed_last_step": n_failed,
     }
 
 

@@ -19,12 +19,16 @@ receding-horizon update as ONE jitted program per step:
   5. command extraction — the first-N-steps controls/body/gains walk of
      HKDMPCSolver::make_command as device gathers.
 
-Host I/O per step: one packed int32 vector + one packed float vector in,
-one packed float bundle out (command + traces + scalars). The previous
-state buffer is donated.
+Host I/O per step: one packed int32 vector + one packed schedule-float
+vector + one 28-float measurement vector in, one packed float bundle out
+(command + traces + scalars). The previous state buffer is donated. The
+schedule vectors are measurement-independent, so a uniform-gait fleet
+shares them and `fleet_step` vmaps the core over (state, measurements) —
+see mpc/fleet.py.
 
 Equivalence vs the faithful path is pinned by
-tests/test_fast_paths.py::test_fused_mpc_step_matches_classic.
+tests/test_fast_paths.py::test_fused_mpc_step_matches_classic; fleet-vs-
+independent-solvers equivalence by tests/test_fleet.py.
 """
 
 from __future__ import annotations
@@ -59,10 +63,19 @@ def _int_layout(T: int, n_cmd: int):
 
 
 def _float_layout(T: int):
+    """Schedule-side float vector: shared by every robot of a uniform-gait
+    fleet (the per-robot measurements live in the separate meas vector)."""
     return [
         ("contact", T * 4), ("contact_next", T * 4),
         ("td_mask", (T + 1) * 4), ("term_contact", (T + 1) * 4),
         ("term_mask", T + 1), ("ss_mask", T + 1), ("start_mask", T + 1),
+    ]
+
+
+def _meas_layout():
+    """Per-robot measurement vector (28 floats): the only per-robot
+    host->device traffic of a fleet step."""
+    return [
         ("eul", 3), ("p", 3), ("omega", 3), ("v", 3), ("qJ", 12),
         ("front_contact", 4),
     ]
@@ -94,6 +107,15 @@ def pack_floats(T, dtype, **kw) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def pack_meas(dtype, **kw) -> np.ndarray:
+    parts = []
+    for name, ln in _meas_layout():
+        a = np.asarray(kw[name], dtype).ravel()
+        assert a.size == ln, (name, a.size, ln)
+        parts.append(a)
+    return np.concatenate(parts)
+
+
 def make_tables(problem, dtype) -> dict:
     """Device-resident constants: dense reference tables + constraint
     parameter rows (pushed once at initialize)."""
@@ -116,19 +138,22 @@ def make_tables(problem, dtype) -> dict:
     )
 
 
-# host-side bundle layout (mirrors the jnp.concatenate in fused_step)
-def bundle_layout(n_cmd: int):
+# host-side bundle layout (mirrors the jnp.concatenate in _fused_core).
+# trace_len must match the solve's opt via ddp.trace_len_for (the MPC paths
+# run runtime caps -> 3 entries, not TRACE_LEN=64)
+def bundle_layout(n_cmd: int, trace_len: int = TRACE_LEN):
     return [
         ("scalars", 6),              # cost, feas, maxt, maxp, n_iters, failed
-        ("cost_trace", TRACE_LEN), ("feas_trace", TRACE_LEN),
-        ("eqn_trace", TRACE_LEN), ("ineq_trace", TRACE_LEN),
+        ("cost_trace", trace_len), ("feas_trace", trace_len),
+        ("eqn_trace", trace_len), ("ineq_trace", trace_len),
         ("controls", n_cmd * 24), ("body", n_cmd * 12),
         ("gains", n_cmd * 144), ("pf", 12),
     ]
 
 
-def unpack_bundle(vec: np.ndarray, n_cmd: int) -> dict:
-    out = _unpack(np.asarray(vec), bundle_layout(n_cmd))
+def unpack_bundle(vec: np.ndarray, n_cmd: int,
+                  trace_len: int = TRACE_LEN) -> dict:
+    out = _unpack(np.asarray(vec), bundle_layout(n_cmd, trace_len))
     out["controls"] = out["controls"].reshape(n_cmd, 24)
     out["body"] = out["body"].reshape(n_cmd, 12)
     out["gains"] = out["gains"].reshape(n_cmd, 12, 12)
@@ -137,18 +162,93 @@ def unpack_bundle(vec: np.ndarray, n_cmd: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# host half of a receding-horizon step (shared single-robot / fleet)
+# ---------------------------------------------------------------------------
+
+def host_step(pb, old_offsets, nsteps, n_cmd, mpc_time, timestep, np_dtype):
+    """Advance the schedule one MPC step and build the shared device-step
+    vectors: problem.update() + shift descriptor + problem arrays + the
+    host halves of the make_command walk (HKDMPC.cpp:242-298) and the
+    foot-placement scan (HKDMPC.cpp:206-240). Measurement-independent —
+    one call serves every robot of a uniform-gait fleet.
+
+    Returns (ints, floats, new_offsets, aux) with aux carrying the
+    command-side host metadata (times/contacts/status/found)."""
+    from hkdmpc_tpu.solver.structs import DYN
+
+    old = old_offsets
+    pb.update(nsteps)
+    desc = pb.shift_descriptor(old)
+    new_offsets = pb.flat_offsets()
+    pa = pb.problem_arrays()
+    pb._node_map = pa["node_map"]
+
+    # command walk (host half): DYN transition indices + phase scalars
+    dyn_idx = np.flatnonzero(pa["kind"] == DYN)[:n_cmd]
+    cmd_idx = np.full(n_cmd, -1, np.int32)
+    cmd_idx[: len(dyn_idx)] = dyn_idx
+    contacts = np.zeros((n_cmd, 4), int)
+    status = np.zeros((n_cmd, 4))
+    times = np.zeros(n_cmd)
+    k = i = s = 0
+    while k < n_cmd:
+        if s >= pb.phases[i].horizon:
+            s = 0
+            i += 1
+            if i >= len(pb.phases):
+                break
+        contacts[k] = pb.phases[i].contact
+        status[k] = pb.phases[i].contact_duration
+        times[k] = mpc_time + k * timestep
+        s += 1
+        k += 1
+
+    # foot-placement plan (HKDMPC.cpp:206-240 walk, host half)
+    foot_idx = np.full(4, -1, np.int32)
+    found = [False] * 4
+    node_off = {ph.uid: new_offsets[ph.uid][0] for ph in pb.phases}
+    for i in range(len(pb.phases) - 1):
+        c, cn = pb.phases[i].contact, pb.phases[i + 1].contact
+        for leg in range(4):
+            if not found[leg] and c[leg] == 0 and cn[leg] == 1:
+                foot_idx[leg] = node_off[pb.phases[i + 1].uid]
+                found[leg] = True
+        if i >= 4:
+            break
+
+    ints = pack_ints(
+        pb.T, n_cmd, kind=pa["kind"], ridx=pa["ridx"],
+        gidx_node=desc["gidx_node"], node_new=desc["node_new"],
+        gidx_u=desc["gidx_u"], gidx_reb=desc["gidx_reb"],
+        al_init=desc["al_init"], node_active=pa["node_active"],
+        cmd_idx=cmd_idx, foot_idx=foot_idx)
+    floats = pack_floats(
+        pb.T, np_dtype, contact=pa["contact"],
+        contact_next=pa["contact_next"], td_mask=pa["td_mask"],
+        term_contact=pa["term_contact"], term_mask=pa["term_mask"],
+        ss_mask=pa["ss_mask"], start_mask=pa["start_mask"])
+    aux = dict(times=times, contacts=contacts, status=status, found=found)
+    return ints, floats, new_offsets, aux
+
+
+# ---------------------------------------------------------------------------
 # the fused program
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, donate_argnums=(1,),
-         static_argnames=("opt", "parallel_rollout", "n_cmd", "model",
-                          "assoc_linear", "assoc_backward"))
-def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
-               model=None, assoc_linear=False, assoc_backward=False):
+def _fused_core(tables, state, ints, floats, meas, opt, parallel_rollout,
+                n_cmd, model=None, assoc_linear=False, assoc_backward=False,
+                kernel_jac=False, unroll_caps=False):
+    """The fused receding-horizon step as a pure function of device arrays.
+
+    jit'd directly as `fused_step` (batch-1 latency path) and vmapped over
+    (state, meas) as `fleet_step` (device-resident batched fleet MPC:
+    schedule vectors shared across robots, only the 28-float measurement
+    vector is per-robot)."""
     T = state.Ubar.shape[0]
     dtype = state.Xbar.dtype
     iv = _unpack(ints, _int_layout(T, n_cmd))
     fv = _unpack(floats, _float_layout(T))
+    mv_ = _unpack(meas, _meas_layout())
 
     # ---- 1. warm-start shift (gathers over the previous flat state) ------
     gn = iv["gidx_node"]
@@ -194,8 +294,8 @@ def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
     ur = tables["control_table"][ridx] * act
     foot_r = tables["foot_table"][ridx] * act
 
-    eul, p, omega, v = fv["eul"], fv["p"], fv["omega"], fv["v"]
-    qd = hkd.compute_hkd_state(eul, p, fv["qJ"], fv["front_contact"])
+    eul, p, omega, v = mv_["eul"], mv_["p"], mv_["omega"], mv_["v"]
+    qd = hkd.compute_hkd_state(eul, p, mv_["qJ"], mv_["front_contact"])
     x0 = jnp.concatenate([eul, p, omega, v, qd])
 
     prob = ProblemData(
@@ -215,7 +315,8 @@ def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
 
     # ---- 4. solve ----------------------------------------------------------
     res = ddp.solve(prob, new_state, opt, parallel_rollout, model,
-                    assoc_linear, assoc_backward=assoc_backward)
+                    assoc_linear, assoc_backward=assoc_backward,
+                    kernel_jac=kernel_jac, unroll_caps=unroll_caps)
 
     # ---- 5. command extraction (make_command walk, HKDMPC.cpp:242-298) ----
     ci = iv["cmd_idx"]
@@ -240,3 +341,33 @@ def fused_step(tables, state, ints, floats, opt, parallel_rollout, n_cmd,
         res.ineq_trace, controls.ravel(), body.ravel(), gains.ravel(),
         pf.ravel()])
     return res.state, bundle
+
+
+_FUSED_STATICS = ("opt", "parallel_rollout", "n_cmd", "model",
+                  "assoc_linear", "assoc_backward", "kernel_jac",
+                  "unroll_caps")
+
+# batch-1 latency path: one robot, previous state donated
+fused_step = partial(jax.jit, donate_argnums=(1,),
+                     static_argnames=_FUSED_STATICS)(_fused_core)
+
+
+@partial(jax.jit, donate_argnums=(1,), static_argnames=_FUSED_STATICS)
+def fleet_step(tables, state_b, ints, floats, meas_b, opt, parallel_rollout,
+               n_cmd, model=None, assoc_linear=False, assoc_backward=False,
+               kernel_jac=False, unroll_caps=False):
+    """Device-resident batched fleet MPC step: the whole receding-horizon
+    update for N warm-started robots as ONE program.
+
+    state_b is the batched SolverState (leading robot axis, donated);
+    meas_b is (N, 28) per-robot measurements; tables and the schedule
+    vectors (ints/floats) are shared — a uniform-gait fleet advances one
+    schedule, so the warm-start shift gathers and problem rebuild indices
+    are identical across robots (reference analog, per robot:
+    HKDMPC/HKDMPC.cpp:96-166 + HKD-TrajOpt/HKDProblem.cpp:116-222).
+    Returns (state_b', bundle_b (N, bundle_len))."""
+    return jax.vmap(
+        lambda s, m: _fused_core(
+            tables, s, ints, floats, m, opt, parallel_rollout, n_cmd,
+            model, assoc_linear, assoc_backward, kernel_jac, unroll_caps)
+    )(state_b, meas_b)

@@ -252,78 +252,33 @@ class HKDMPCSolver:
         # a prior dispatch that was never completed would be silently
         # dropped here, desynchronizing mpc_iter/solve_time accounting from
         # actually-served commands (run_async serializes via its busy flag;
-        # direct API users must drain before re-dispatching)
-        assert self._pending is None, \
-            "update_fused_dispatch with an in-flight dispatch pending — " \
-            "call update_fused_complete() (or discard it) first"
+        # direct API users must drain before re-dispatching). RuntimeError,
+        # not assert: this API contract must survive python -O
+        if self._pending is not None:
+            raise RuntimeError(
+                "update_fused_dispatch with an in-flight dispatch pending — "
+                "call update_fused_complete() (or discard it) first")
 
         pb = self.problem
-        old_offsets = self._offsets
-        pb.update(self.cfg.nsteps_between_mpc)
-        desc = pb.shift_descriptor(old_offsets)
-        self._offsets = pb.flat_offsets()
-        pa = pb.problem_arrays()
-        pb._node_map = pa["node_map"]
         n = self.cfg.nsteps_between_mpc + self.cfg.n_cmd_extra
-
-        # command walk (host half): DYN transition indices + phase scalars
-        dyn_idx = np.flatnonzero(pa["kind"] == 1)[:n]
-        cmd_idx = np.full(n, -1, np.int32)
-        cmd_idx[: len(dyn_idx)] = dyn_idx
-        contacts = np.zeros((n, 4), int)
-        status = np.zeros((n, 4))
-        times = np.zeros(n)
-        k = i = s = 0
-        while k < n:
-            if s >= pb.phases[i].horizon:
-                s = 0
-                i += 1
-                if i >= len(pb.phases):
-                    break
-            contacts[k] = pb.phases[i].contact
-            status[k] = pb.phases[i].contact_duration
-            times[k] = self.mpc_time + k * self.cfg.timestep
-            s += 1
-            k += 1
-
-        # foot-placement plan (HKDMPC.cpp:206-240 walk, host half)
-        foot_idx = np.full(4, -1, np.int32)
-        found = [False] * 4
-        node_off = {ph.uid: self._offsets[ph.uid][0] for ph in pb.phases}
-        for i in range(len(pb.phases) - 1):
-            c, cn = pb.phases[i].contact, pb.phases[i + 1].contact
-            for leg in range(4):
-                if not found[leg] and c[leg] == 0 and cn[leg] == 1:
-                    foot_idx[leg] = node_off[pb.phases[i + 1].uid]
-                    found[leg] = True
-            if i >= 4:
-                break
-
         np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        ints, floats, self._offsets, aux = fused.host_step(
+            pb, self._offsets, self.cfg.nsteps_between_mpc, n,
+            self.mpc_time, self.cfg.timestep, np_dtype)
         eul = np.asarray([rpy[2], rpy[1], rpy[0]])  # HKDMPC.cpp:118 flip
-        ints = fused.pack_ints(
-            pb.T, n, kind=pa["kind"], ridx=pa["ridx"],
-            gidx_node=desc["gidx_node"], node_new=desc["node_new"],
-            gidx_u=desc["gidx_u"], gidx_reb=desc["gidx_reb"],
-            al_init=desc["al_init"], node_active=pa["node_active"],
-            cmd_idx=cmd_idx, foot_idx=foot_idx)
-        floats = fused.pack_floats(
-            pb.T, np_dtype, contact=pa["contact"],
-            contact_next=pa["contact_next"], td_mask=pa["td_mask"],
-            term_contact=pa["term_contact"], term_mask=pa["term_mask"],
-            ss_mask=pa["ss_mask"], start_mask=pa["start_mask"],
-            eul=eul, p=p, omega=omega, v=v, qJ=qJ,
-            front_contact=pb.phases[0].contact)
+        meas = fused.pack_meas(np_dtype, eul=eul, p=p, omega=omega, v=v,
+                               qJ=qJ, front_contact=pb.phases[0].contact)
 
         t0 = time.perf_counter()
         self._state_dev, bundle = fused.fused_step(
-            self._tables, self._state_dev, ints, floats,
+            self._tables, self._state_dev, ints, floats, meas,
             self.opt.runtime(), pb.all_shooting(), n,
             assoc_linear=self.cfg.assoc_linear,
             assoc_backward=self._assoc_bw)
         self._host_stale = True
-        self._pending = dict(bundle=bundle, n=n, t0=t0, times=times,
-                             contacts=contacts, status=status, found=found)
+        self._pending = dict(bundle=bundle, n=n, t0=t0, times=aux["times"],
+                             contacts=aux["contacts"], status=aux["status"],
+                             found=aux["found"])
 
     def fused_ready(self) -> bool:
         """True when the dispatched fused step's result is available (the
@@ -344,7 +299,8 @@ class HKDMPCSolver:
         n, times, contacts, status, found = (
             pend["n"], pend["times"], pend["contacts"], pend["status"],
             pend["found"])
-        out = fused.unpack_bundle(jax.device_get(pend["bundle"]), n)
+        out = fused.unpack_bundle(jax.device_get(pend["bundle"]), n,
+                                  ddp.trace_len_for(self.opt.runtime()))
         self.solve_time = (time.perf_counter() - pend["t0"]) * 1e3
 
         cost, feas, maxt, maxp, n_iters, failed = out["scalars"]

@@ -28,6 +28,21 @@ def make_mesh(devices=None, axis: str = "scenario") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def get_shard_map():
+    """shard_map with the replication check disabled, picking the kwarg by
+    the actual signature (renamed check_rep -> check_vma across jax
+    versions; attribute existence alone doesn't pin which one a given jax
+    takes)."""
+    import inspect
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map as sm
+    params = inspect.signature(sm).parameters
+    kw = {"check_vma": False} if "check_vma" in params else \
+        ({"check_rep": False} if "check_rep" in params else {})
+    return partial(sm, **kw)
+
+
 def init_multihost(coordinator: str = None, num_processes: int = None,
                    process_id: int = None):
     """Initialize multi-host (DCN) execution: each host contributes its local
@@ -74,7 +89,8 @@ def perturb_scenarios(prob_b: ProblemData, key, x0_scale=None):
 def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
                   axis: str = "scenario", parallel_rollout: bool = False,
                   pallas_backward: bool = False, kernel_jac: bool = False,
-                  assoc_linear: bool = False):
+                  assoc_linear: bool = False, unroll_caps: bool = False,
+                  assoc_backward: bool = False):
     """Batched solve sharded over the mesh.
 
     Scenario-parallel solves ride per-device vmap; cross-chip aggregation of
@@ -87,17 +103,7 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
 
     Returns (SolveResult batched, aggregates dict of replicated scalars).
     """
-    # pick the replication-check kwarg by the actual signature (it was
-    # renamed check_rep -> check_vma across jax versions; attribute
-    # existence alone doesn't pin which one a given jax takes)
-    import inspect
-    sm = getattr(jax, "shard_map", None)
-    if sm is None:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map as sm
-    params = inspect.signature(sm).parameters
-    kw = {"check_vma": False} if "check_vma" in params else \
-        ({"check_rep": False} if "check_rep" in params else {})
-    smap = partial(sm, **kw)
+    smap = get_shard_map()
 
     @partial(smap, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P()))
@@ -105,7 +111,8 @@ def solve_sharded(prob_b: ProblemData, state_b: SolverState, opt, mesh: Mesh,
         res = jax.vmap(lambda p, s: ddp.solve(
             p, s, opt, parallel_rollout=parallel_rollout,
             pallas_backward=pallas_backward, kernel_jac=kernel_jac,
-            assoc_linear=assoc_linear))(prob_shard, state_shard)
+            assoc_linear=assoc_linear, unroll_caps=unroll_caps,
+            assoc_backward=assoc_backward))(prob_shard, state_shard)
         n_local = res.cost.shape[0]
         agg = {
             "mean_cost": jax.lax.psum(jnp.sum(res.cost), axis)

@@ -31,6 +31,16 @@ from hkdmpc_tpu.solver.structs import (ConstraintState, ProblemData,
 TRACE_LEN = 64
 
 
+def trace_len_for(opt: HSDDPOption) -> int:
+    """Per-iteration trace-buffer capacity for a given option set: one seed
+    entry plus at most one push per inner iteration, capped at TRACE_LEN.
+    Sizing by the caps (runtime caps: 2x1 -> 3 entries instead of 64)
+    shrinks the result-assembly movement and the fused bundle; the trace
+    CONTENT is decision-identical — no push can exceed capacity, so the
+    clamped cursor never overwrites."""
+    return min(TRACE_LEN, 1 + int(opt.max_AL_iter) * int(opt.max_DDP_iter))
+
+
 def _replace(obj, **kw):
     return dataclasses.replace(obj, **kw)
 
@@ -122,11 +132,12 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
     feas0 = ro_mod.dynamics_feasibility(prob, ro.defect)
     maxp0, maxt0 = ro_mod.max_violations(prob, g0, h0)
 
+    trace_len = trace_len_for(opt)
     traces0 = {
-        "cost": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(cost0),
-        "feas": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(feas0),
-        "eqn": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(maxt0),
-        "ineq": jnp.full(TRACE_LEN, jnp.nan, dtype).at[0].set(maxp0),
+        "cost": jnp.full(trace_len, jnp.nan, dtype).at[0].set(cost0),
+        "feas": jnp.full(trace_len, jnp.nan, dtype).at[0].set(feas0),
+        "eqn": jnp.full(trace_len, jnp.nan, dtype).at[0].set(maxt0),
+        "ineq": jnp.full(trace_len, jnp.nan, dtype).at[0].set(maxp0),
         "n": jnp.array(1, jnp.int32),
     }
 
@@ -259,7 +270,7 @@ def solve(prob: ProblemData, state: SolverState, opt: HSDDPOption,
             feas=jnp.where(do_trace, tr["feas"].at[n].set(feas2), tr["feas"]),
             eqn=jnp.where(do_trace, tr["eqn"].at[n].set(maxt2), tr["eqn"]),
             ineq=jnp.where(do_trace, tr["ineq"].at[n].set(maxp2), tr["ineq"]),
-            n=jnp.where(do_trace, jnp.minimum(n + 1, TRACE_LEN - 1), n),
+            n=jnp.where(do_trace, jnp.minimum(n + 1, trace_len - 1), n),
         )
         c2 = dict(c, state=st, X=X, U=U, defect=defect, g=g2, h=h2,
                   cost=cost2, feas=feas2, maxp=maxp2, maxt=maxt2, traces=tr,
