@@ -5,10 +5,18 @@ runtime iteration caps (max_AL_iter=2, max_DDP_iter=1 — the reference's MPC
 hot path, HKDMPC.cpp:102-103), full 0.6 s / 60-step multi-phase horizon,
 float32 on TPU.
 
-Prints ONE JSON line covering BOTH baseline axes (BASELINE.md):
+Prints ONE JSON line covering the baseline axes (BASELINE.md):
   - throughput: {"metric", "value", "unit", "vs_baseline"} — reference
     target is >10k solves/s on a v5p-16 slice = 1250 solves/s/chip;
-    vs_baseline = value / 1250.
+    vs_baseline = value / 1250. "value" is SUSTAINED throughput (reps
+    fleets queued back-to-back, one sync): every sync through this
+    sandbox's remote-TPU tunnel costs a ~24 ms RPC (exp_pipe_probe.py),
+    so the old sync-per-fleet wall (still reported as
+    per_fleet_wall_ms / per_fleet_solves_per_s) under-reports by ~48 ms
+    per ~150 ms fleet.
+  - fleet MPC: {"fleet_robot_steps_per_s", ...} — N warm-started robots
+    stepping receding horizons device-resident (mpc/fleet.py), the
+    reference's 100 Hz loop batched. BENCH_FLEET=0 skips.
   - latency: {"latency_ms_p50", "latency_ms_p90", "latency_floor_ms_p50",
     "latency_budget_ms"} — p50/p90 of the single-scenario fused MPC re-solve
     step (mpc/fused.py) against the reference's 10 ms real-time budget
@@ -65,33 +73,50 @@ def main():
     # decision-identical, ~2% fleet win (cross-iteration CSE/fusion)
     use_unroll = os.environ.get("BENCH_UNROLL", "1") == "1"
 
-    def run_all():
-        out = [ddp.solve_batch(dataclasses.replace(prob_b, x0=x0), state_b,
-                               opt, parallel_rollout=True,
-                               pallas_backward=use_pallas and not use_kjac,
-                               kernel_jac=use_kjac, unroll_caps=use_unroll)
-               for x0 in x0s]
-        out[-1].cost.block_until_ready()
-        return out
+    def run_fleet():
+        """One fleet pass (batch solves in batch/chunk queued dispatches);
+        does NOT sync — the caller places the single sync point."""
+        return [ddp.solve_batch(dataclasses.replace(prob_b, x0=x0), state_b,
+                                opt, parallel_rollout=True,
+                                pallas_backward=use_pallas and not use_kjac,
+                                kernel_jac=use_kjac, unroll_caps=use_unroll)
+                for x0 in x0s]
 
     # warmup / compile
-    results = run_all()
+    results = run_fleet()
+    results[-1].cost.block_until_ready()
     n_failed = sum(int(jnp.sum(r.solve_failed)) for r in results)
     mean_cost = float(np.mean([float(jnp.mean(r.cost)) for r in results]))
+
+    # Throughput protocol (round 5): SUSTAINED — queue reps full fleets
+    # back-to-back with ONE sync at the end. Through this sandbox's
+    # remote-TPU tunnel every sync/block costs a ~24 ms RPC round trip
+    # (scripts/exp_pipe_probe.py), so the round-<=4 protocol (sync per
+    # fleet, best-of-reps) under-reported by ~48 ms per 150 ms fleet.
+    # Sustained rate is the deployment-relevant number — fleets run
+    # continuously; per-fleet wall (old protocol) is still reported below.
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        results = run_fleet()
+    results[-1].cost.block_until_ready()
+    sustained = time.perf_counter() - t0
+    solves_per_s = batch * reps / sustained
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        results = run_all()
+        results = run_fleet()
+        results[-1].cost.block_until_ready()
         times.append(time.perf_counter() - t0)
-
     best = min(times)
-    solves_per_s = batch / best
+
     out = {
         "metric": "hsddp_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1250.0, 3),
+        "per_fleet_wall_ms": round(best * 1e3, 1),
+        "per_fleet_solves_per_s": round(batch / best, 1),
     }
     if os.environ.get("BENCH_LATENCY", "1") != "0":
         try:
@@ -104,7 +129,8 @@ def main():
         except Exception as e:  # keep the other axes on any failure
             print(f"# fleet axis failed: {e!r}", file=sys.stderr)
     print(json.dumps(out))
-    print(f"# batch={batch} best={best*1e3:.1f}ms times_ms="
+    print(f"# batch={batch} sustained={sustained*1e3:.1f}ms/{reps}fleets "
+          f"per_fleet_best={best*1e3:.1f}ms times_ms="
           f"{[round(t*1e3,1) for t in times]} mean_cost={mean_cost:.2f} "
           f"failed={n_failed} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
@@ -121,23 +147,21 @@ def main():
             sb_c = jax.tree_util.tree_map(lambda a: a[:ch], state_b)
 
             def run_scale():
-                out = [ddp.solve_batch(dataclasses.replace(pb_c, x0=x),
-                                       sb_c, opt, parallel_rollout=True,
-                                       pallas_backward=use_pallas and not use_kjac,
-                                       kernel_jac=use_kjac,
-                                       unroll_caps=use_unroll)
-                       for x in xs]
-                out[-1].cost.block_until_ready()
-                return out
+                return [ddp.solve_batch(dataclasses.replace(pb_c, x0=x),
+                                        sb_c, opt, parallel_rollout=True,
+                                        pallas_backward=use_pallas and not use_kjac,
+                                        kernel_jac=use_kjac,
+                                        unroll_caps=use_unroll)
+                        for x in xs]
 
-            run_scale()
-            ts = []
+            run_scale()[-1].cost.block_until_ready()
+            t0 = time.perf_counter()
             for _ in range(3):
-                t0 = time.perf_counter()
-                run_scale()
-                ts.append(time.perf_counter() - t0)
-            print(f"# scaling batch={b} chunk={ch} best={min(ts)*1e3:.1f}ms "
-                  f"solves_per_s={b / min(ts):.1f}", file=sys.stderr)
+                out = run_scale()
+            out[-1].cost.block_until_ready()
+            dt = (time.perf_counter() - t0) / 3
+            print(f"# scaling batch={b} chunk={ch} sustained={dt*1e3:.1f}ms "
+                  f"solves_per_s={b / dt:.1f}", file=sys.stderr)
 
 def measure_latency(jax, jnp) -> dict:
     """Single-scenario MPC re-solve latency — the reference's real-time

@@ -341,3 +341,42 @@ class FleetMPC:
             status_times=out["status"], feedback=out["gains"][i],
             foot_placement=out["foot_placement"][i].reshape(12).copy(),
             solve_time=out["solve_time"])
+
+
+class MixedFleetMPC:
+    """Mixed-gait fleet: G gait groups, each a uniform FleetMPC.
+
+    A fleet step dispatches all groups back-to-back (the per-group
+    programs pipeline on device — one group's solve overlaps the next
+    group's dispatch) and completes them together. Grouping by gait is
+    the natural decomposition: the warm-start shift descriptor, problem
+    arrays and command walk are per-schedule host bookkeeping, identical
+    within a group and meaningless across gaits. The per-group batched
+    programs compile once each (G programs total, same shapes ->
+    identical executables when the groups share T).
+
+    A single-program alternative (per-robot schedule vectors as batched
+    data + padded per-gait reference-table stacks indexed by a robot's
+    group id) was considered and deliberately not taken: it tiles ~5 KB
+    of schedule vectors per robot per step across the wire and pads every
+    gait's reference table to the longest, for the sole benefit of
+    merging G<=handful dispatches that already pipeline."""
+
+    def __init__(self, groups, **kw):
+        """groups: sequence of (reference_file, n_robots). Remaining
+        kwargs are forwarded to each FleetMPC."""
+        self.fleets = [FleetMPC(ref, n, **kw) for ref, n in groups]
+        self.n = sum(f.n for f in self.fleets)
+
+    def initialize(self, x0_bs=None) -> list:
+        return [f.initialize(None if x0_bs is None else x0_bs[i])
+                for i, f in enumerate(self.fleets)]
+
+    def step(self, meas_list, mpc_time: float = 0.0) -> list:
+        """meas_list: per-group dicts of batched measurement arrays
+        (rpy/p/v/omega/qJ). Dispatches every group, then completes every
+        group — G pipelined device programs per fleet step."""
+        for f, m in zip(self.fleets, meas_list):
+            f.step_async(m["rpy"], m["p"], m["v"], m["omega"], m["qJ"],
+                         mpc_time)
+        return [f.complete() for f in self.fleets]

@@ -1,12 +1,15 @@
 """Batch-1 MPC-latency margin with run-to-run spread (round-5 verdict #4).
 
 The round-4 claim — bare solve 8.88 ms on-chip vs the 10 ms budget
-(HKDMPC.cpp:26-29) — was single-sourced. This re-measures the MPC default
-stack (assoc_linear + assoc_backward, runtime caps, f32) with the
-pipelined-dispatch protocol (K=20 back-to-back solves amortize the ~30 ms
-tunnel) and reports EVERY repetition, so the margin carries a variance
-bound; plus the al0/al1 truncations to re-split fixed vs per-iteration
-work after the trace-buffer right-sizing (ddp.trace_len_for)."""
+(HKDMPC.cpp:26-29) — was single-sourced AND carried protocol bias: the
+K=20 pipeline still pays flush+sync RPC (~48 ms, exp_pipe_probe.py) =
+~2.4 ms/solve inside the old number. This re-measures the MPC default
+stack (assoc_linear + assoc_backward, runtime caps, f32) with the SLOPE
+protocol (exec = (W(K2)-W(K1))/(K2-K1), one-leaf sync — cancels all RPC)
+and reports EVERY repetition of the slope, so the margin carries a
+variance bound; plus the al0/al1 truncations to re-split fixed vs
+per-iteration work after the trace-buffer right-sizing
+(ddp.trace_len_for)."""
 
 import dataclasses
 import os
@@ -23,44 +26,47 @@ def main():
     import __graft_entry__ as ge
     from hkdmpc_tpu.solver import ddp
 
-    k = int(os.environ.get("K", "20"))
+    k1 = int(os.environ.get("K1", "8"))
+    k2 = int(os.environ.get("K2", "40"))
     reps = int(os.environ.get("REPS", "8"))
     _, prob, state, opt = ge._trot_problem(dtype=jnp.float32)
     optr = opt.runtime()
     prob, state = jax.device_put((prob, state))
 
-    def loop(fn):
-        def run():
+    def make(fn):
+        def wall(K):
             out = None
-            for _ in range(k):
+            t0 = time.perf_counter()
+            for _ in range(K):
                 out = fn()
-            return out.cost
-        return run
+            out.cost.block_until_ready()
+            return time.perf_counter() - t0
+        return wall
 
     variants = {
-        "default(assoc_bw)": loop(lambda: ddp.solve_jit(
+        "default(assoc_bw)": make(lambda: ddp.solve_jit(
             prob, state, optr, True, assoc_linear=True, assoc_backward=True)),
-        "al1": loop(lambda: ddp.solve_jit(
+        "al1": make(lambda: ddp.solve_jit(
             prob, state, dataclasses.replace(optr, max_AL_iter=1), True,
             assoc_linear=True, assoc_backward=True)),
-        "al0": loop(lambda: ddp.solve_jit(
+        "al0": make(lambda: ddp.solve_jit(
             prob, state, dataclasses.replace(optr, max_AL_iter=0), True,
             assoc_linear=True, assoc_backward=True)),
     }
 
-    for name, run in variants.items():
+    for name, wall in variants.items():
         t0 = time.time()
-        jax.block_until_ready(run())
+        wall(1)  # compile
         comp = time.time() - t0
-        ts = []
+        execs = []
         for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run())
-            ts.append((time.perf_counter() - t0) / k * 1e3)
-        ts_s = sorted(ts)
-        print(f"{name:18s} min={ts_s[0]:6.2f} med={ts_s[len(ts)//2]:6.2f} "
-              f"max={ts_s[-1]:6.2f} ms/solve (compile {comp:.0f}s) "
-              f"all={[round(t, 2) for t in ts]}", flush=True)
+            w1 = wall(k1)
+            w2 = wall(k2)
+            execs.append((w2 - w1) / (k2 - k1) * 1e3)
+        es = sorted(execs)
+        print(f"{name:18s} exec min={es[0]:6.2f} med={es[len(es)//2]:6.2f} "
+              f"max={es[-1]:6.2f} ms/solve (compile {comp:.0f}s) "
+              f"all={[round(t, 2) for t in execs]}", flush=True)
 
 
 if __name__ == "__main__":

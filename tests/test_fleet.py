@@ -101,6 +101,41 @@ def test_fleet_step_matches_independent_fused():
                            np.asarray(fleet._state_dev.Ubar[1]))
 
 
+@pytest.mark.slow
+def test_mixed_fleet_groups_step_independently():
+    """MixedFleetMPC: two gait groups (trot + flytrot) step one mixed
+    fleet; each group's commands must equal a standalone uniform fleet of
+    the same gait driven with the same measurements."""
+    jax.clear_caches()
+    from hkdmpc_tpu.mpc.fleet import FleetConfig, FleetMPC, MixedFleetMPC
+
+    FREF = "/root/reference/Reference/Data/flytrot/quad_reference.csv"
+    cfg = FleetConfig(kernel_jac=False, unroll_caps=False, assoc_linear=True,
+                      plan_duration=0.3)
+    kw = dict(ddp_settings=SET, constraint_params=CPAR, config=cfg,
+              dtype=jnp.float64)
+    mixed = MixedFleetMPC([(REF, 2), (FREF, 2)], **kw)
+    mixed.initialize()
+    solo = FleetMPC(FREF, 2, **kw)
+    solo.initialize()
+
+    stream = _meas_stream(5)
+    for step in range(3):
+        m = stream(step)
+        mb = {k: np.stack([v, v]) for k, v in m.items()}
+        outs = mixed.step([mb, mb], mpc_time=step * 0.01)
+        solo_out = solo.step(mb["rpy"], mb["p"], mb["v"], mb["omega"],
+                             mb["qJ"], mpc_time=step * 0.01)
+        np.testing.assert_allclose(outs[1]["controls"],
+                                   solo_out["controls"],
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(outs[1]["body"], solo_out["body"],
+                                   rtol=1e-9, atol=1e-10)
+        assert np.all(np.isfinite(outs[0]["controls"]))
+        # the two gaits genuinely differ
+        assert not np.allclose(outs[0]["controls"], outs[1]["controls"])
+
+
 def test_fleet_meas_pack_and_bundle_roundtrip():
     """Fast structural checks: the (N, 28) measurement pack applies the
     reference's rpy flip per robot, and unpack_bundle_batch slices the
