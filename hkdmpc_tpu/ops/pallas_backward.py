@@ -356,7 +356,14 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
                 isdyn_ref, isrst_ref, islast_ref, islastc_ref,
                 reg_ref, dt_ref,
                 K_ref, dU_ref, dv1_ref, dv2_ref, ok_ref,
-                G_s, H_s, dv1_s, dv2_s, ok_s, W_s, Px_s, Pxx_s):
+                G_s, H_s, dv1_s, dv2_s, ok_s, W_s, Px_s, Pxx_s,
+                spb=1):
+    """spb = time steps fused per grid invocation: the per-step input
+    slabs carry a leading (spb,) block dim and the body below runs spb
+    times (later transition first). spb>1 halves/quarters the number of
+    grid steps — the structural lever against the serial wall (fewer
+    grid-loop boundaries, fatter DMA slabs); the Riccati dependency chain
+    itself is unchanged."""
     from hkdmpc_tpu.ops.hkd_tminor import _MU, running_partial_entries
     from hkdmpc_tpu.ops.jac_tminor import dyn_jac_entries, reset_jac_entries
     from hkdmpc_tpu.solver.costs import reb_derivs
@@ -382,12 +389,37 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
         Px_s[...] = pxT
         Pxx_s[...] = pxxT
 
-    is_dyn = isdyn_ref[0, 0]     # (BB,)
-    is_rst = isrst_ref[0, 0]
-    is_last = islast_ref[0, 0]       # is_last[t+1]: this step's seed mask
-    is_last_c = islastc_ref[0, 0]    # is_last[t]: next step needs phi(t)
     reg = reg_ref[0]
     dtv = dt_ref[0]
+
+    for sj in range(spb - 1, -1, -1):   # later transition first
+        _kernel_hkd_substep(
+            sj, X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
+            tctx_ref, rbd_ref, rbe_ref, dnext_ref, isdyn_ref, isrst_ref,
+            islast_ref, islastc_ref, reg, dtv,
+            K_ref, dU_ref, G_s, H_s, dv1_s, dv2_s, ok_s, W_s, Px_s, Pxx_s,
+            _MU, running_partial_entries, dyn_jac_entries,
+            reset_jac_entries, reb_derivs)
+
+    dv1_ref[0] = dv1_s[0]
+    dv2_ref[0] = dv2_s[0]
+    ok_ref[0] = ok_s[0]
+
+
+def _kernel_hkd_substep(sj, X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref,
+                        fr_ref, tctx_ref, rbd_ref, rbe_ref, dnext_ref,
+                        isdyn_ref, isrst_ref, islast_ref, islastc_ref,
+                        reg, dtv,
+                        K_ref, dU_ref, G_s, H_s, dv1_s, dv2_s, ok_s, W_s,
+                        Px_s, Pxx_s,
+                        _MU, running_partial_entries, dyn_jac_entries,
+                        reset_jac_entries, reb_derivs):
+    """One backward transition on the slab row sj of the invocation's
+    per-step blocks (sj is a static python index)."""
+    is_dyn = isdyn_ref[sj, 0]    # (BB,)
+    is_rst = isrst_ref[sj, 0]
+    is_last = islast_ref[sj, 0]      # is_last[t+1]: this step's seed mask
+    is_last_c = islastc_ref[sj, 0]   # is_last[t]: next step needs phi(t)
 
     # per-kind block predicates: a grid step only pays for the transition
     # kinds actually present in its 128 lanes. Uniform-schedule fleets
@@ -400,10 +432,10 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     any_rst = jnp.max(is_rst) > 0.0
     any_phi = jnp.logical_or(any_rst, jnp.max(is_last_c) > 0.0)
 
-    x = X_ref[0]                 # (24, BB) source-node state
-    u = U_ref[0]
-    c4 = c_ref[0]                # (4, BB)
-    cn4 = cn_ref[0]
+    x = X_ref[sj]                # (24, BB) source-node state
+    u = U_ref[sj]
+    c4 = c_ref[sj]               # (4, BB)
+    cn4 = cn_ref[sj]
 
     xcols = [x[i] for i in range(24)]
     ucols = [u[i] for i in range(24)]
@@ -415,25 +447,25 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
     from hkdmpc_tpu.ops.jac_tminor import _rot_entries
     rot = _rot_entries((xcols[0], xcols[1], xcols[2]))
 
-    xr = xr_ref[0]               # (24, BB) reference at the source node
-    fr = fr_ref[0]               # (12, BB)
+    xr = xr_ref[sj]              # (24, BB) reference at the source node
+    fr = fr_ref[sj]              # (12, BB)
     xr_cols = [xr[i] for i in range(24)]
     fr_cols = [fr[i] for i in range(12)]
 
     # seed reads the stash BEFORE this step's phi overwrites it
     H = H_s[...] + is_last[None, None, :] * Pxx_s[...]
     G = G_s[...] + is_last[None, :] * Px_s[...]
-    dnext = dnext_ref[0]
+    dnext = dnext_ref[sj]
     Gn = G + jnp.sum(H * dnext[None, :, :], axis=1)
 
     # ---- terminal partials at the source node, in-kernel (was: the two
     # (T+1, 24, 24) phixx + (T+1, 24) phix input slabs). phi(t) feeds this
     # step's RESET seed and the NEXT grid step's is_last seed via the
-    # stash (ti==0 stashes phi(T) above); computed only when some lane
-    # resets here or has node t as its last active node. -------------------
+    # stash (ti==0 stashes phi(T)); computed only when some lane resets
+    # here or has node t as its last active node. -------------------------
     @pl.when(any_phi)
     def _():
-        phix_t, phixx_t = _phi_dense(xcols, xr_cols, fr_cols, tctx_ref[0],
+        phix_t, phixx_t = _phi_dense(xcols, xr_cols, fr_cols, tctx_ref[sj],
                                      z, one, rot=rot)
         Px_s[...] = phix_t
         Pxx_s[...] = phixx_t
@@ -447,9 +479,9 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
         edB = {k: dtv * v for k, v in dynB.items()}
 
         # running cost partials, in-kernel (was: lxx/luu/lx/lu slabs)
-        ur = ur_ref[0]
-        rbd = rbd_ref[0]             # (20, BB) ReB delta rows
-        rbe = rbe_ref[0]             # (20, BB) ReB eps rows (zeros = off)
+        ur = ur_ref[sj]
+        rbd = rbd_ref[sj]            # (20, BB) ReB delta rows
+        rbe = rbe_ref[sj]            # (20, BB) ReB eps rows (zeros = off)
         mdt = is_dyn * dtv
         d1c, d2c = [], []
         for l in range(4):
@@ -526,8 +558,8 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
         Gd = Qx - jnp.sum(Qux * sv[:, None, :], axis=0)
         dv = jnp.sum(Qu * sv, axis=0)
 
-        K_ref[0] = is_dyn[None, None, :] * (-Sw)
-        dU_ref[0] = is_dyn[None, :] * (-sv)
+        K_ref[sj] = is_dyn[None, None, :] * (-Sw)
+        dU_ref[sj] = is_dyn[None, :] * (-sv)
         G_s[...] = is_dyn[None, :] * Gd + (1.0 - is_dyn[None, :]) * G
         H_s[...] = (is_dyn[None, None, :] * Hd
                     + (1.0 - is_dyn[None, None, :]) * H)
@@ -538,8 +570,8 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
 
     @pl.when(jnp.logical_not(any_dyn))
     def _():
-        K_ref[0] = jnp.zeros_like(K_ref[0])
-        dU_ref[0] = jnp.zeros_like(dU_ref[0])
+        K_ref[sj] = jnp.zeros_like(K_ref[sj])
+        dU_ref[sj] = jnp.zeros_like(dU_ref[sj])
         # pad-only lanes carry (G, H) through; the seeded H == carry here
         # because a lane's seed step is always its last ACTIVE transition
         G_s[...] = G
@@ -557,9 +589,13 @@ def _kernel_hkd(X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref, fr_ref,
         H_s[...] = (is_rst[None, None, :] * Hr
                     + (1.0 - is_rst[None, None, :]) * H_s[...])
 
-    dv1_ref[0] = dv1_s[0]
-    dv2_ref[0] = dv2_s[0]
-    ok_ref[0] = ok_s[0]
+
+# time steps fused per grid invocation (structural lever vs the serial
+# wall). Overridable per call; env var for experiments.
+import functools as _functools
+import os as _os
+
+SPB = int(_os.environ.get("HKD_KERNEL_SPB", "1"))
 
 
 def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
@@ -567,7 +603,7 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
                               term_contact, td_mask, al_sigma, al_lambda,
                               term_mask, defect,
                               reg, last_node_b, dt, interpret=False,
-                              bb=None):
+                              bb=None, spb=None):
     """Explicit-batch backward sweep with IN-KERNEL HKD jacobians,
     running-cost partials AND terminal partials (tracking + foot reg + AL
     touchdown) — no phix/phixx slabs cross HBM at all.
@@ -577,17 +613,31 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
     (Bt, T, 20) — pass reb_eps = zeros to disable the ReB barrier;
     term_contact/td_mask/al_sigma/al_lambda (Bt, T+1, 4) and term_mask
     (Bt, T+1) — pass al_sigma = al_lambda = zeros to disable AL;
-    dt scalar or (Bt,). Returns (dU, K, dv1, dv2, ok)."""
+    dt scalar or (Bt,). Returns (dU, K, dv1, dv2, ok).
+
+    spb: time steps fused per grid invocation (grid = (nb, T_pad/spb));
+    every per-step input is transition-indexed and padded to T_pad with
+    PAD steps processed (and masked out) first."""
     bb = bb or BB
+    spb = spb or SPB
     Bt, T = kind_b.shape
     Bp = ((Bt + bb - 1) // bb) * bb
     pad = Bp - Bt
+    T_pad = ((T + spb - 1) // spb) * spb
+    tp = T_pad - T               # trailing PAD transitions (masked)
 
     def bm(x):
-        x = jnp.pad(x.astype(jnp.float32),
-                    [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        x = jnp.pad(x.astype(jnp.float32), [(0, pad)] + [(0, 0)] * (x.ndim - 1))
         perm = tuple(range(1, x.ndim)) + (0,)
         return jnp.transpose(x, perm)
+
+    def tpad(x_m, rows):
+        """Ensure a transition-indexed array covers T_pad rows. Longer
+        arrays pass through unsliced (the index maps never reach the
+        extra rows), avoiding copies on the spb=1 default."""
+        if rows >= T_pad:
+            return x_m
+        return jnp.pad(x_m, [(0, T_pad - rows)] + [(0, 0)] * (x_m.ndim - 1))
 
     # packed per-node terminal context (T+1, 17): 0:4 term_contact,
     # 4:8 td_mask, 8:12 al_sigma, 12:16 al_lambda, 16 term_mask
@@ -595,25 +645,31 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
         [term_contact, td_mask, al_sigma, al_lambda, term_mask[..., None]],
         axis=-1)
 
-    X_m = bm(X)                  # full (T+1) nodes: per-step + node-T views
-    U_m = bm(U)
-    c_m = bm(contact)
-    cn_m = bm(contact_next)
+    X_m = bm(X)                  # full (T+1) nodes for the node-T views
     xr_m = bm(xr)
-    ur_m = bm(ur[:, :T])
     fr_m = bm(foot_r)
     tctx_m = bm(tctx)
-    rbd_m = bm(reb_delta)
-    rbe_m = bm(reb_eps)
+    # transition-indexed per-step views (source node t at row t), T_pad rows
+    X_s = tpad(X_m, T + 1)
+    xr_s = tpad(xr_m, T + 1)
+    fr_s = tpad(fr_m, T + 1)
+    tctx_s = tpad(tctx_m, T + 1)
+    U_s = tpad(bm(U), U.shape[1])
+    c_s = tpad(bm(contact), T)
+    cn_s = tpad(bm(contact_next), T)
+    ur_s = tpad(bm(ur), ur.shape[1])
+    rbd_s = tpad(bm(reb_delta), T)
+    rbe_s = tpad(bm(reb_eps), T)
     d_m = bm(defect)
+    dnext_s = tpad(d_m[1:], T)   # defect at the dest node of transition t
 
     from hkdmpc_tpu.solver.structs import DYN, RESET
-    is_dyn = bm((kind_b == DYN).astype(jnp.float32))[:, None, :]
-    is_rst = bm((kind_b == RESET).astype(jnp.float32))[:, None, :]
+    is_dyn = tpad(bm((kind_b == DYN).astype(jnp.float32)), T)[:, None, :]
+    is_rst = tpad(bm((kind_b == RESET).astype(jnp.float32)), T)[:, None, :]
     node_idx = jnp.arange(T + 1)[None, :]
     is_last = bm((node_idx == last_node_b[:, None]).astype(jnp.float32))
-    is_last_t = is_last[1:][:, None, :]    # is_last[t+1] at grid step t
-    is_last_c = is_last[:-1][:, None, :]   # is_last[t] at grid step t
+    is_last_t = tpad(is_last[1:], T)[:, None, :]   # is_last[t+1] at step t
+    is_last_c = tpad(is_last[:-1], T)[:, None, :]  # is_last[t] at step t
 
     reg_m = jnp.pad(
         jnp.broadcast_to(jnp.asarray(reg, jnp.float32), (Bt,)),
@@ -623,41 +679,41 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
         (0, pad))[None, :]
 
     nb = Bp // bb
-    rev4 = lambda bi, ti: (T - 1 - ti, 0, 0, bi)
-    rev3 = lambda bi, ti: (T - 1 - ti, 0, bi)
-    nxt3 = lambda bi, ti: (T - ti, 0, bi)
+    npairs = T_pad // spb
+    revS4 = lambda bi, ti: (npairs - 1 - ti, 0, 0, bi)
+    revS = lambda bi, ti: (npairs - 1 - ti, 0, bi)
     lastn = lambda bi, ti: (T, 0, bi)   # constant: fetched once per block
     fix2 = lambda bi, ti: (0, bi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nb, T),
+        grid=(nb, npairs),
         in_specs=[
-            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # X
-            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # U
-            pl.BlockSpec((1, 4, bb), rev3, memory_space=pltpu.VMEM),   # c
-            pl.BlockSpec((1, 4, bb), rev3, memory_space=pltpu.VMEM),   # cn
-            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # xr
-            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),  # ur
-            pl.BlockSpec((1, 12, bb), rev3, memory_space=pltpu.VMEM),  # fr
-            pl.BlockSpec((1, 17, bb), rev3, memory_space=pltpu.VMEM),  # tctx
-            pl.BlockSpec((1, 20, bb), rev3, memory_space=pltpu.VMEM),  # rbd
-            pl.BlockSpec((1, 20, bb), rev3, memory_space=pltpu.VMEM),  # rbe
-            pl.BlockSpec((1, 24, bb), nxt3, memory_space=pltpu.VMEM),  # dnext
-            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM), # X_T
-            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM), # xr_T
-            pl.BlockSpec((1, 12, bb), lastn, memory_space=pltpu.VMEM), # fr_T
-            pl.BlockSpec((1, 17, bb), lastn, memory_space=pltpu.VMEM), # tctx_T
-            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bb), rev3, memory_space=pltpu.VMEM),   # lastc
-            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # reg
-            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),      # dt
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),  # X
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),  # U
+            pl.BlockSpec((spb, 4, bb), revS, memory_space=pltpu.VMEM),   # c
+            pl.BlockSpec((spb, 4, bb), revS, memory_space=pltpu.VMEM),   # cn
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),  # xr
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),  # ur
+            pl.BlockSpec((spb, 12, bb), revS, memory_space=pltpu.VMEM),  # fr
+            pl.BlockSpec((spb, 17, bb), revS, memory_space=pltpu.VMEM),  # tctx
+            pl.BlockSpec((spb, 20, bb), revS, memory_space=pltpu.VMEM),  # rbd
+            pl.BlockSpec((spb, 20, bb), revS, memory_space=pltpu.VMEM),  # rbe
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),  # dnext
+            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM),   # X_T
+            pl.BlockSpec((1, 24, bb), lastn, memory_space=pltpu.VMEM),   # xr_T
+            pl.BlockSpec((1, 12, bb), lastn, memory_space=pltpu.VMEM),   # fr_T
+            pl.BlockSpec((1, 17, bb), lastn, memory_space=pltpu.VMEM),   # tctx_T
+            pl.BlockSpec((spb, 1, bb), revS, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb, 1, bb), revS, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb, 1, bb), revS, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb, 1, bb), revS, memory_space=pltpu.VMEM),   # lastc
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),        # reg
+            pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),        # dt
         ],
         out_specs=[
-            pl.BlockSpec((1, 24, 24, bb), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, bb), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb, 24, 24, bb), revS4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb, 24, bb), revS, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bb), fix2, memory_space=pltpu.VMEM),
@@ -675,20 +731,20 @@ def backward_sweep_pallas_hkd(kind_b, X, U, contact, contact_next,
     )
 
     K_m, dU_m, dv1_p, dv2_p, ok_p = pl.pallas_call(
-        _kernel_hkd,
+        _functools.partial(_kernel_hkd, spb=spb),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, 24, 24, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((T, 24, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, 24, 24, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, 24, Bp), jnp.float32),
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
             jax.ShapeDtypeStruct((1, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(X_m, U_m, c_m, cn_m, xr_m, ur_m, fr_m, tctx_m, rbd_m, rbe_m, d_m,
+    )(X_s, U_s, c_s, cn_s, xr_s, ur_s, fr_s, tctx_s, rbd_s, rbe_s, dnext_s,
       X_m, xr_m, fr_m, tctx_m, is_dyn, is_rst, is_last_t, is_last_c,
       reg_m, dt_m)
 
-    K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt]
-    dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt]
+    K = jnp.transpose(K_m, (3, 0, 1, 2))[:Bt, :T]
+    dU = jnp.transpose(dU_m, (2, 0, 1))[:Bt, :T]
     return dU, K, dv1_p[0, :Bt], dv2_p[0, :Bt], ok_p[0, :Bt] > 0.5
