@@ -184,14 +184,19 @@ class FleetMPC:
                 parallel_rollout=pb.all_shooting(),
                 kernel_jac=self._kernel_jac,
                 assoc_linear=self.cfg.assoc_linear,
-                unroll_caps=self.cfg.unroll_caps,
+                unroll_caps=False,  # cold solve: see the unsharded branch
                 assoc_backward=self.cfg.assoc_backward)
         else:
+            # cold solve: never unroll — unroll_caps pays for the 2x1
+            # runtime caps, but the cold caps (e.g. the reference's 5x10)
+            # would unroll into a 50-iteration straight-line program with
+            # a compile time to match; the while_loop solver is the right
+            # shape here and the step path keeps the unrolled one
             res = ddp.solve_batch(
                 prob_b, state_b, self.opt,
                 parallel_rollout=pb.all_shooting(),
                 kernel_jac=self._kernel_jac,
-                unroll_caps=self.cfg.unroll_caps,
+                unroll_caps=False,
                 assoc_linear=self.cfg.assoc_linear,
                 assoc_backward=self.cfg.assoc_backward)
         res.cost.block_until_ready()
