@@ -128,6 +128,16 @@ def main():
             out.update(measure_fleet(jax, jnp))
         except Exception as e:  # keep the other axes on any failure
             print(f"# fleet axis failed: {e!r}", file=sys.stderr)
+    if os.environ.get("BENCH_MIXED", "0") == "1":
+        try:
+            out.update(measure_mixed(jax, jnp))
+        except Exception as e:
+            print(f"# mixed axis failed: {e!r}", file=sys.stderr)
+    if os.environ.get("BENCH_LONGT", "0") == "1":
+        try:
+            out.update(measure_longt(jax, jnp))
+        except Exception as e:
+            print(f"# longT axis failed: {e!r}", file=sys.stderr)
     print(json.dumps(out))
     print(f"# batch={batch} sustained={sustained*1e3:.1f}ms/{reps}fleets "
           f"per_fleet_best={best*1e3:.1f}ms times_ms="
@@ -257,6 +267,111 @@ def measure_fleet(jax, jnp) -> dict:
         "fleet_robot_steps_per_s": round(N * steps / dt, 1),
         "fleet_failed_last_step": n_failed,
     }
+
+
+def _sustained_ms(run, one_leaf, reps=3, k=8):
+    """Sustained per-call exec: k queued calls, one single-leaf sync (see
+    DESIGN §3h — every sync costs a ~24 ms tunnel RPC)."""
+    one_leaf(run()).block_until_ready()  # compile/warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = run()
+        one_leaf(out).block_until_ready()
+        ts.append((time.perf_counter() - t0) / k)
+    return min(ts) * 1e3
+
+
+def measure_mixed(jax, jnp) -> dict:
+    """Mixed-gait fleet robustness (BENCH_MIXED=1): 512 trot + 512 flytrot
+    scenarios in one batch, interleaved lanes (worst case for the kernel's
+    per-kind block skip) vs sorted-by-gait lanes vs the uniform fleet —
+    promoted from scripts/exp_mixed_fleet.py."""
+    import dataclasses
+
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    from hkdmpc_tpu.solver import ddp
+
+    B = 1024
+    out = {}
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.exp_mixed_fleet import _problem
+
+    trot = _problem("/root/reference/Reference/Data/trot/quad_reference.csv",
+                    jnp.float32)
+    fly = _problem(
+        "/root/reference/Reference/Data/flytrot/quad_reference.csv",
+        jnp.float32)
+    from hkdmpc_tpu.config import load_ddp_setting
+    opt = load_ddp_setting(
+        "/root/reference/HKDMPC/settings/ddp_setting.info").runtime()
+
+    def tile(pair, n, key):
+        pb_b, st_b = replicate_problem(pair[0], pair[1], n)
+        pb_b = dataclasses.replace(
+            pb_b, x0=perturb_scenarios(pb_b, jax.random.PRNGKey(key)).x0)
+        return pb_b, st_b
+
+    t_b = tile(trot, B, 0)
+    f_b = tile(fly, B // 2, 1)
+    t_h = (jax.tree_util.tree_map(lambda a: a[: B // 2], t_b[0]),
+           jax.tree_util.tree_map(lambda a: a[: B // 2], t_b[1]))
+
+    def interleave(a, b):
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.stack([x, y], axis=1).reshape(
+                (-1,) + x.shape[1:]), a, b)
+
+    def concat(a, b):
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+    cases = {
+        "uniform": jax.device_put(t_b),
+        "interleaved": jax.device_put((interleave(t_h[0], f_b[0]),
+                                       interleave(t_h[1], f_b[1]))),
+        "sorted": jax.device_put((concat(t_h[0], f_b[0]),
+                                  concat(t_h[1], f_b[1]))),
+    }
+    for name, (pb_b, st_b) in cases.items():
+        ms = _sustained_ms(
+            lambda: ddp.solve_batch(pb_b, st_b, opt, parallel_rollout=True,
+                                    kernel_jac=True, unroll_caps=True),
+            lambda r: r.cost)
+        out[f"mixed_{name}_ms"] = round(ms, 2)
+        print(f"# mixed {name}: {ms:.2f} ms/call (B={B})", file=sys.stderr)
+    return out
+
+
+def measure_longt(jax, jnp) -> dict:
+    """Long-horizon point (BENCH_LONGT=1): the 2.0 s trot plan (T=250,
+    ~16 phases) at batch 256 on the production stack — promoted from
+    scripts/exp_longT_bench.py."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from hkdmpc_tpu.parallel import perturb_scenarios, replicate_problem
+    from hkdmpc_tpu.solver import ddp
+
+    batch = 256
+    _, prob, state, opt = ge._trot_problem(plan_duration=2.0,
+                                           dtype=jnp.float32)
+    optr = opt.runtime()
+    prob_b, state_b = replicate_problem(prob, state, batch)
+    prob_b = dataclasses.replace(
+        prob_b, x0=perturb_scenarios(prob_b, jax.random.PRNGKey(0)).x0)
+    prob_b, state_b = jax.device_put((prob_b, state_b))
+    ms = _sustained_ms(
+        lambda: ddp.solve_batch(prob_b, state_b, optr, parallel_rollout=True,
+                                kernel_jac=True, unroll_caps=True),
+        lambda r: r.cost)
+    print(f"# longT T={prob.T} batch={batch}: {ms:.2f} ms/call "
+          f"= {batch / ms * 1e3:.0f} solves/s", file=sys.stderr)
+    return {"longT_T": int(prob.T), "longT_batch": batch,
+            "longT_ms": round(ms, 2),
+            "longT_solves_per_s": round(batch / ms * 1e3, 1)}
 
 
 if __name__ == "__main__":
