@@ -326,6 +326,23 @@ class FleetMPC:
 
     # ------------------------------------------------------------------
 
+    def save(self, path: str) -> None:
+        """Checkpoint the fleet: shared schedule (uid-keyed) + every
+        robot's device-resident warm-start state
+        (utils.checkpoint.save_fleet)."""
+        from hkdmpc_tpu.utils.checkpoint import save_fleet
+        if self._pending is not None:
+            raise RuntimeError("save with an in-flight step pending — "
+                               "call complete() first")
+        save_fleet(path, self)
+
+    def resume(self, path: str) -> None:
+        """Restore from save(): re-arms the device-resident step path; no
+        solve is performed — the next step() continues exactly where the
+        saved fleet left off (the fleet analog of HKDMPCSolver.resume)."""
+        from hkdmpc_tpu.utils.checkpoint import load_fleet
+        load_fleet(path, self)
+
     def unpack(self, bundle_b) -> dict:
         """Unpack a (N, L) fleet bundle with this fleet's command width and
         trace length (runtime caps -> ddp.trace_len_for)."""

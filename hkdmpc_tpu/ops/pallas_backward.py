@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 BB = 128
 NS = 49   # split-sweep tableau columns (24 Quu | 24 Qux | 1 Qu)
 
+# diagnostic stage-ablation switch (see exp_kernel_parts.py): "" = off
+import os as _os_diag
+
+DIAG = _os_diag.environ.get("HKD_KERNEL_DIAG", "")
+
 
 def _xtc(X, Y, n=24):
     """out[i,k,:] = sum_j X[j,i,:] * Y[j,k,:]  (X^T @ Y per lane).
@@ -515,44 +520,56 @@ def _kernel_hkd_substep(sj, X_ref, U_ref, c_ref, cn_ref, xr_ref, ur_ref,
         Qxx = 0.5 * (Qxx + Qxx.transpose(1, 0, 2))
         Quu = _entries_add(BtHB, luu_e) + reg[None, None, :] * eye24
 
-        # forward elimination + back-substitution on [Quu | Qux | Qu]:
-        # Gaussian elimination touches only the rows BELOW each pivot (the
-        # Gauss-Jordan sweep it replaced updated all 24 every time), and
-        # the 25 RHS columns are recovered by back-substitution — about
-        # half the serially-dependent work. Pivot values (and thus the PSD
-        # gate) are identical to the Jordan sweep up to per-op rounding:
-        # both apply the same row-k update from each earlier pivot, but
-        # the update orders differ at the ulp level, so the d>1e-9 PSD
-        # gate can in principle flip on borderline pivots between the two
-        # kernels — do not rely on bit-exact gate agreement across kernels.
-        W_s[...] = jnp.zeros_like(W_s)
-        W_s[:, 0:24, :] = Quu
-        W_s[:, 24:48, :] = Qux
-        W_s[:, 48, :] = Qu
+        if DIAG == "nopiv":
+            # DIAGNOSTIC ONLY (HKD_KERNEL_DIAG=nopiv): replace the whole
+            # serially-dependent elimination + back-substitution with a
+            # shape-preserving fake so its marginal cost can be read off a
+            # full-solve timing delta. Results are numerically WRONG; the
+            # program structure (iterations, retry exit, line search) is
+            # unchanged because ok stays all-pass and caps are static.
+            Sw = 0.01 * Qux
+            sv = 0.01 * Qu
+            ok = jnp.ones_like(reg)
+        else:
+            # forward elimination + back-substitution on [Quu | Qux | Qu]:
+            # Gaussian elimination touches only the rows BELOW each pivot
+            # (the Gauss-Jordan sweep it replaced updated all 24 every
+            # time), and the 25 RHS columns are recovered by
+            # back-substitution — about half the serially-dependent work.
+            # Pivot values (and thus the PSD gate) are identical to the
+            # Jordan sweep up to per-op rounding: both apply the same
+            # row-k update from each earlier pivot, but the update orders
+            # differ at the ulp level, so the d>1e-9 PSD gate can in
+            # principle flip on borderline pivots between the two kernels
+            # — do not rely on bit-exact gate agreement across kernels.
+            W_s[...] = jnp.zeros_like(W_s)
+            W_s[:, 0:24, :] = Quu
+            W_s[:, 24:48, :] = Qux
+            W_s[:, 48, :] = Qu
 
-        ok = jnp.ones_like(reg)
-        for k in range(24):
-            row = W_s[k]                  # (49, BB)
-            d = row[k]
-            ok = ok * (d > 1e-9).astype(jnp.float32)
-            d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
-            if k < 23:
-                below = W_s[k + 1:24]     # (23-k, 49, BB)
-                fac = below[:, k, :] / d_safe[None, :]
-                W_s[k + 1:24] = below - fac[:, None, :] * row[None, :, :]
+            ok = jnp.ones_like(reg)
+            for k in range(24):
+                row = W_s[k]                  # (49, BB)
+                d = row[k]
+                ok = ok * (d > 1e-9).astype(jnp.float32)
+                d_safe = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+                if k < 23:
+                    below = W_s[k + 1:24]     # (23-k, 49, BB)
+                    fac = below[:, k, :] / d_safe[None, :]
+                    W_s[k + 1:24] = below - fac[:, None, :] * row[None, :, :]
 
-        W = W_s[...]
-        S_rows = [None] * 24
-        for i in range(23, -1, -1):
-            acc = W[i, 24:49, :]          # (25, BB) transformed RHS row
-            for j in range(i + 1, 24):
-                acc = acc - W[i, j][None, :] * S_rows[j]
-            di = W[i, i]
-            di_safe = jnp.where(jnp.abs(di) > 1e-30, di, 1.0)
-            S_rows[i] = acc / di_safe[None, :]
-        Sfull = jnp.stack(S_rows, axis=0)  # (24, 25, BB) = Quu^-1 [Qux|Qu]
-        Sw = Sfull[:, 0:24, :]
-        sv = Sfull[:, 24, :]
+            W = W_s[...]
+            S_rows = [None] * 24
+            for i in range(23, -1, -1):
+                acc = W[i, 24:49, :]          # (25, BB) transformed RHS row
+                for j in range(i + 1, 24):
+                    acc = acc - W[i, j][None, :] * S_rows[j]
+                di = W[i, i]
+                di_safe = jnp.where(jnp.abs(di) > 1e-30, di, 1.0)
+                S_rows[i] = acc / di_safe[None, :]
+            Sfull = jnp.stack(S_rows, axis=0)  # (24,25,BB) = Quu^-1 [Qux|Qu]
+            Sw = Sfull[:, 0:24, :]
+            sv = Sfull[:, 24, :]
         Hd = Qxx - _xtc(Qux, Sw)
         Hd = 0.5 * (Hd + Hd.transpose(1, 0, 2))
         Gd = Qx - jnp.sum(Qux * sv[:, None, :], axis=0)

@@ -20,7 +20,7 @@ _PHASE_SCALARS = ("start_time", "end_time", "horizon", "reach_end",
                   "has_tconstr")
 
 
-def save_problem(path: str, pb) -> None:
+def _problem_payload(pb) -> tuple:
     arrays = {}
     meta = {"n_phases": len(pb.phases), "k_cur": pb.ref.k_cur,
             "plan_duration": pb.plan_duration, "dt_sim": pb.dt_sim,
@@ -37,6 +37,11 @@ def save_problem(path: str, pb) -> None:
         arrays[f"p{i}_contact"] = np.asarray(ph.contact)
         arrays[f"p{i}_next_contact"] = np.asarray(ph.next_contact)
         arrays[f"p{i}_contact_duration"] = np.asarray(ph.contact_duration)
+    return arrays, meta
+
+
+def save_problem(path: str, pb) -> None:
+    arrays, meta = _problem_payload(pb)
     arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
@@ -73,3 +78,59 @@ def load_problem(path: str, pb) -> None:
             setattr(ph, name, data[f"p{i}_{name}"].copy())
         pb.phases.append(ph)
     pb._uid_counter = max([pb._uid_counter] + [p.uid for p in pb.phases])
+
+
+# ---------------------------------------------------------------------------
+# fleet checkpoints: one schedule (uid-keyed, as above) + the batched
+# device-resident SolverState of every robot
+# ---------------------------------------------------------------------------
+
+_STATE_FIELDS = ("Xbar", "Ubar", "dU", "K", "dX", "defect_bar")
+_CONSTR_FIELDS = ("reb_delta", "reb_delta_min", "reb_eps", "al_lambda",
+                  "al_sigma", "al_sigma_max")
+
+
+def save_fleet(path: str, fleet) -> None:
+    """Persist a FleetMPC: the shared schedule (phase structure + uids,
+    so the shift-descriptor gathers stay valid after resume) and the
+    (N, ...) batched warm-start state pulled from device."""
+    import jax
+
+    arrays, meta = _problem_payload(fleet.problem)
+    meta["fleet_n"] = fleet.n
+    st = jax.device_get(fleet._state_dev)
+    for name in _STATE_FIELDS:
+        arrays[f"fs_{name}"] = np.asarray(getattr(st, name))
+    for name in _CONSTR_FIELDS:
+        arrays[f"fc_{name}"] = np.asarray(getattr(st.constr, name))
+    arrays["fs__pf"] = np.asarray(fleet._pf)
+    arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_fleet(path: str, fleet) -> None:
+    """Restore into a FleetMPC built with the same reference file and
+    n_robots. Re-arms the device-resident step path; no solve performed —
+    the next step() continues where the saved fleet left off."""
+    import jax.numpy as jnp
+
+    from hkdmpc_tpu.mpc import fused
+    from hkdmpc_tpu.solver.structs import ConstraintState, SolverState
+
+    data = np.load(path)
+    meta = json.loads(bytes(data["_meta"]).decode())
+    assert meta.get("fleet_n") == fleet.n, \
+        (meta.get("fleet_n"), fleet.n, "fleet size mismatch")
+    load_problem(path, fleet.problem)
+    dt = fleet.dtype
+    constr = ConstraintState(
+        **{n: jnp.asarray(data[f"fc_{n}"], dt) for n in _CONSTR_FIELDS})
+    fleet._state_dev = SolverState(
+        constr=constr,
+        **{n: jnp.asarray(data[f"fs_{n}"], dt) for n in _STATE_FIELDS})
+    fleet._tables = fused.make_tables(fleet.problem, dt)
+    fleet._offsets = fleet.problem.flat_offsets()
+    if "fs__pf" in data:
+        fleet._pf = np.asarray(data["fs__pf"]).copy()
+    fleet._pending = None
+    fleet._last = None

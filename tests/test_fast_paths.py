@@ -453,10 +453,13 @@ def test_solve_kernel_jac_equivalent_under_vmap():
 
 
 @pytest.mark.slow
-def test_kernel_jac_backward_matches_scan():
+@pytest.mark.parametrize("spb", [1, 2])
+def test_kernel_jac_backward_matches_scan(spb):
     """riccati_backward_hkd batched rule (in-kernel jacobians + running AND
     terminal partials, interpret mode) vs the faithful scan with XLA-built
-    A/B and materialized partials on the same inputs."""
+    A/B and materialized partials on the same inputs. spb=2 exercises the
+    fused-multi-step grid variant (trailing PAD transition, substep loop
+    — measured throughput-neutral on TPU but kept as a tested variant)."""
     _fresh_caches()
     from hkdmpc_tpu.ops.pallas_backward import backward_sweep_pallas_hkd
 
@@ -482,7 +485,7 @@ def test_kernel_jac_backward_matches_scan():
         tile(f32(prob.term_mask)),
         tile(d32), regs,
         jnp.full((B,), last, jnp.int32),
-        jnp.full((B,), jnp.float32(prob.dt)), interpret=True)
+        jnp.full((B,), jnp.float32(prob.dt)), interpret=True, spb=spb)
 
     for i in range(B):
         o = backward.backward_sweep(prob, lqd, ro.defect,

@@ -102,6 +102,52 @@ def test_fleet_step_matches_independent_fused():
 
 
 @pytest.mark.slow
+def test_fleet_checkpoint_resume_continues_exactly(tmp_path):
+    """FleetMPC.save -> a fresh fleet .resume() continues the stepped
+    fleet exactly: same commands and same device state as the original
+    fleet never restarted (phase uids survive, so the shift-descriptor
+    gathers stay valid — the fleet analog of the fused resume test)."""
+    jax.clear_caches()
+    from hkdmpc_tpu.mpc.fleet import FleetConfig, FleetMPC
+
+    cfg = FleetConfig(kernel_jac=False, unroll_caps=False, assoc_linear=True,
+                      plan_duration=0.3)
+    kw = dict(ddp_settings=SET, constraint_params=CPAR, config=cfg,
+              dtype=jnp.float64)
+    live = FleetMPC(REF, 2, **kw)
+    live.initialize()
+    stream = _meas_stream(42)
+
+    def mb(m):
+        return {k: np.stack([v, v * 0.5]) for k, v in m.items()}
+
+    for step in range(3):
+        live.step(**{f"{k}_b": v for k, v in mb(stream(step)).items()},
+                  mpc_time=step * 0.01)
+    ckpt = str(tmp_path / "fleet.npz")
+    live.save(ckpt)
+
+    resumed = FleetMPC(REF, 2, **kw)
+    resumed.resume(ckpt)
+    assert len({ph.uid for ph in resumed.problem.phases}) == \
+        len(resumed.problem.phases)
+
+    for step in range(3, 6):
+        m = mb(stream(step))
+        kwm = {f"{k}_b": v for k, v in m.items()}
+        out_l = live.step(**kwm, mpc_time=step * 0.01)
+        out_r = resumed.step(**kwm, mpc_time=step * 0.01)
+        np.testing.assert_allclose(out_r["controls"], out_l["controls"],
+                                   rtol=1e-12, atol=1e-13,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(out_r["gains"], out_l["gains"],
+                                   rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed._state_dev.Xbar),
+                               np.asarray(live._state_dev.Xbar),
+                               rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.slow
 def test_mixed_fleet_groups_step_independently():
     """MixedFleetMPC: two gait groups (trot + flytrot) step one mixed
     fleet; each group's commands must equal a standalone uniform fleet of

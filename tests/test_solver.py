@@ -134,6 +134,13 @@ def test_mpc_receding_horizon_loop(trot_solution):
         assert float(res2.max_tconstr) < 5e-3
         pb.unflatten(res2.state)
         xk = np.asarray(res2.state.Xbar[1])
+        # trace buffers are sized by the iteration caps (round 5):
+        # runtime caps 2x1 -> 3 entries (seed + up to 2 pushes), first
+        # entry always the pre-iteration seed
+        assert res2.cost_trace.shape[0] == ddp.trace_len_for(opt_rt) == 3
+        assert not np.isnan(float(res2.cost_trace[0]))
+    # cold caps keep the larger buffer
+    assert res.cost_trace.shape[0] == ddp.trace_len_for(opt)
 
 
 def test_single_shooting_mode():
