@@ -119,8 +119,10 @@ def load_fleet(path: str, fleet) -> None:
 
     data = np.load(path)
     meta = json.loads(bytes(data["_meta"]).decode())
-    assert meta.get("fleet_n") == fleet.n, \
-        (meta.get("fleet_n"), fleet.n, "fleet size mismatch")
+    if meta.get("fleet_n") != fleet.n:
+        # API-contract check, not an assert: must survive python -O
+        raise ValueError(f"fleet checkpoint holds {meta.get('fleet_n')} "
+                         f"robots, fleet has {fleet.n}")
     load_problem(path, fleet.problem)
     dt = fleet.dtype
     constr = ConstraintState(
