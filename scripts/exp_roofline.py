@@ -78,12 +78,21 @@ def main():
 
     out = compiled(prob_b, state_b)
     jax.block_until_ready(out.cost)
-    ts = []
-    for _ in range(3):
+
+    # slope protocol (DESIGN §3h): cancels the tunnel's ~24 ms sync RPC —
+    # the round-4 run divided the traffic by a wall that was ~45% RPC
+    def wall(K):
         t0 = time.perf_counter()
-        out = compiled(prob_b, state_b)
-        jax.block_until_ready(out.cost)
-        ts.append(time.perf_counter() - t0)
+        o = None
+        for _ in range(K):
+            o = compiled(prob_b, state_b)
+        o.cost.block_until_ready()
+        return time.perf_counter() - t0
+
+    ts = []
+    for _ in range(4):
+        w1, w2 = wall(4), wall(16)
+        ts.append((w2 - w1) / 12)
     t = min(ts)
 
     mem = compiled.memory_analysis()
