@@ -43,7 +43,9 @@ def main():
     # pipeline; single 4096-call is ~3% slower, and larger chunks fit HBM
     # since the MXU-free rewrite — peak footprint ~3.6 GB per 1024).
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 6 fleets back-to-back: the sustained window amortizes the single
+    # ~24 ms sync to ~1% of the measurement (3 reps left ~2% on the table)
+    reps = int(os.environ.get("BENCH_REPS", "6"))
     chunk = min(batch, int(os.environ.get("BENCH_CHUNK", "1024")))
 
     import __graft_entry__ as ge
@@ -226,7 +228,7 @@ def measure_fleet(jax, jnp) -> dict:
     from hkdmpc_tpu.mpc.fleet import FleetConfig, FleetMPC
 
     N = int(os.environ.get("BENCH_FLEET_N", "1024"))
-    steps = int(os.environ.get("BENCH_FLEET_STEPS", "25"))
+    steps = int(os.environ.get("BENCH_FLEET_STEPS", "50"))
     dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     fleet = FleetMPC(
         "/root/reference/Reference/Data/trot/quad_reference.csv", N,
