@@ -182,6 +182,43 @@ def test_mixed_fleet_groups_step_independently():
         assert not np.allclose(outs[0]["controls"], outs[1]["controls"])
 
 
+@pytest.mark.slow
+def test_fleet_step_kernel_jac_matches_scan_stack():
+    """The fleet receding-horizon step on the PRODUCTION kernel stack
+    (kernel_jac, interpret mode on CPU) tracks the scan-stack fleet to
+    solver-decision accuracy: same schedule, same measurements, f32 both
+    sides, costs within kernel-vs-scan roundoff and zero failures. The
+    dryrun smoke-tests this composition; this pins the numbers."""
+    jax.clear_caches()
+    from hkdmpc_tpu.mpc.fleet import FleetConfig, FleetMPC
+
+    N = 2
+    kw = dict(ddp_settings=SET, constraint_params=CPAR, dtype=jnp.float32)
+    cfg_kj = FleetConfig(kernel_jac=True, unroll_caps=False,
+                         plan_duration=0.3)
+    cfg_sc = FleetConfig(kernel_jac=False, unroll_caps=False,
+                         plan_duration=0.3)
+    f_kj = FleetMPC(REF, N, config=cfg_kj, **kw)
+    f_sc = FleetMPC(REF, N, config=cfg_sc, **kw)
+    f_kj.initialize()
+    f_sc.initialize()
+
+    stream = _meas_stream(9)
+    for step in range(2):
+        m = stream(step)
+        mb = {f"{k}_b": np.stack([v, v * 0.7]) for k, v in m.items()}
+        out_a = f_kj.step(**mb, mpc_time=step * 0.01)
+        out_b = f_sc.step(**mb, mpc_time=step * 0.01)
+        assert int(np.sum(out_a["scalars"][:, 5] > 0)) == 0
+        assert int(np.sum(out_b["scalars"][:, 5] > 0)) == 0
+        np.testing.assert_allclose(
+            out_a["scalars"][:, 0], out_b["scalars"][:, 0], rtol=1e-3,
+            err_msg=f"step {step} cost")
+        np.testing.assert_allclose(out_a["controls"], out_b["controls"],
+                                   rtol=1e-2, atol=2e-2,
+                                   err_msg=f"step {step}")
+
+
 def test_fleet_meas_pack_and_bundle_roundtrip():
     """Fast structural checks: the (N, 28) measurement pack applies the
     reference's rpy flip per robot, and unpack_bundle_batch slices the
